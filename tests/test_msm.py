@@ -1,0 +1,111 @@
+"""MSM differential tests vs the python oracle, mirroring the reference's
+`msm_correctness` pattern (`prize1a-msm-gpu/yrrid/tests/msm.rs:11-37`):
+seeded generation, size via env knob, edge cases (zero scalars, identity
+points, duplicate buckets) included deliberately."""
+
+import os
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zprize_tpu.curve import sw
+from zprize_tpu.curve.spec import BLS12_377_G1
+from zprize_tpu.field import fp
+from zprize_tpu.msm import pippenger
+
+import ec_ref
+
+TEST_NPOW = int(os.environ.get("TEST_NPOW", "8"))
+MSM_SEED = int(os.environ.get("MSM_SEED", "42"))
+
+CURVE = BLS12_377_G1
+
+
+def make_inputs(n, seed, with_edge_cases=True):
+    rng = random.Random(seed)
+    pts = ec_ref.random_subgroup_points(CURVE, min(n, 32), seed=seed)
+    # clone-extend to n (the reference's clone-doubling trick,
+    # `yrrid/src/util.rs:15-29`)
+    pts = [pts[i % len(pts)] for i in range(n)]
+    scalars = [rng.randrange(CURVE.order) for _ in range(n)]
+    if with_edge_cases and n >= 8:
+        scalars[0] = 0                       # zero scalar
+        scalars[1] = 1
+        scalars[2] = CURVE.order - 1         # -1
+        pts[3] = None                        # identity point in the input
+        scalars[4] = scalars[5]              # duplicate scalar
+        pts[6] = pts[5]                      # duplicate point
+    return pts, scalars
+
+
+def to_device(pts, scalars):
+    xs = [0 if p is None else p[0] for p in pts]
+    ys = [1 if p is None else p[1] for p in pts]
+    infs = [p is None for p in pts]
+    aff = sw.Affine(fp.from_ints(CURVE.field, xs),
+                    fp.from_ints(CURVE.field, ys),
+                    jnp.asarray(np.array(infs)))
+    s = fp.from_ints(CURVE.scalar, scalars)
+    return aff, s
+
+
+def expected_msm(pts, scalars):
+    return ec_ref.ec_msm(pts, scalars, CURVE.field.p)
+
+
+def check(result_point, expect):
+    aff = sw.to_affine(CURVE, result_point)
+    if expect is None:
+        assert bool(np.asarray(aff.inf))
+        return
+    got = (int(fp.to_ints(CURVE.field, aff.x)[()]),
+           int(fp.to_ints(CURVE.field, aff.y)[()]))
+    assert not bool(np.asarray(aff.inf))
+    assert got == expect
+
+
+@pytest.mark.parametrize("n,c", [(32, 4), (64, 6), (256, None)])
+def test_msm_small(n, c):
+    pts, scalars = make_inputs(n, MSM_SEED)
+    aff, s = to_device(pts, scalars)
+    res = pippenger.msm(CURVE, aff, s, c=c)
+    check(res, expected_msm(pts, scalars))
+
+
+def test_msm_env_size():
+    n = 1 << TEST_NPOW
+    pts, scalars = make_inputs(n, MSM_SEED + 1)
+    aff, s = to_device(pts, scalars)
+    res = pippenger.msm(CURVE, aff, s)
+    check(res, expected_msm(pts, scalars))
+
+
+def test_msm_adversarial_buckets():
+    """All scalars identical: every point lands in the same buckets, forcing
+    the multi-pass rectangle path."""
+    n = 64
+    pts, _ = make_inputs(n, MSM_SEED + 2, with_edge_cases=False)
+    k = 0x1234567_89ABCDEF
+    scalars = [k] * n
+    aff, s = to_device(pts, scalars)
+    res = pippenger.msm(CURVE, aff, s, c=6, cap=4)  # force many passes
+    check(res, expected_msm(pts, scalars))
+
+
+def test_msm_jit_static_matches():
+    n = 128
+    pts, scalars = make_inputs(n, MSM_SEED + 3)
+    aff, s = to_device(pts, scalars)
+    res = pippenger.msm_jit_static(CURVE, aff, s, c=6, cap_total=n)
+    check(res, expected_msm(pts, scalars))
+
+
+def test_msm_all_zero_scalars():
+    n = 16
+    pts, _ = make_inputs(n, MSM_SEED + 4, with_edge_cases=False)
+    scalars = [0] * n
+    aff, s = to_device(pts, scalars)
+    res = pippenger.msm(CURVE, aff, s, c=5)
+    check(res, None)
