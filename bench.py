@@ -1,0 +1,96 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline: BLS12-377 G1 MSM throughput (points/s), the prize1a metric.
+Baseline: the best GPU entry's amortized 2^26 MSM on an NVIDIA A40 —
+2.2-2.3 s for 4 x 2^26 (combined yrrid+matter-labs solution,
+`combined-top-solutions/README.md:26-28`) ≈ 1.22e8 points/s.
+
+Env knobs (reference conventions, `yrrid/tests/msm.rs:13-22`):
+  BENCH_NPOW  (default 16)  log2 of the MSM size
+  MSM_SEED    (default 42)
+  BENCH_WINDOW (default auto)
+Points are generated once via the reference's clone-extension trick
+(`yrrid/src/util.rs:15-29`): a small seeded base set, tiled to size.
+"""
+
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+BASELINE_POINTS_PER_S = 1.22e8  # A40, combined-top-solutions, amortized
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    npow = int(os.environ.get("BENCH_NPOW", "16"))
+    seed = int(os.environ.get("MSM_SEED", "42"))
+    c_env = os.environ.get("BENCH_WINDOW")
+    n = 1 << npow
+
+    import jax
+    import jax.numpy as jnp
+    log(f"devices: {jax.devices()}")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from zprize_tpu.curve import sw
+    from zprize_tpu.curve.spec import BLS12_377_G1
+    from zprize_tpu.field import fp
+    from zprize_tpu.msm import pippenger
+
+    curve = BLS12_377_G1
+    rng = random.Random(seed)
+
+    # base points on host (python oracle), cloned to n
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    import ec_ref
+    n_base = min(n, 1 << 10)
+    t0 = time.time()
+    base = ec_ref.random_subgroup_points(curve, n_base, seed=seed)
+    log(f"generated {n_base} base points in {time.time()-t0:.1f}s")
+    reps = n // n_base
+    bx = fp.from_ints(curve.field, [p[0] for p in base])
+    by = fp.from_ints(curve.field, [p[1] for p in base])
+    px = jnp.tile(bx, (reps, 1))
+    py = jnp.tile(by, (reps, 1))
+    pinf = jnp.zeros((n,), bool)
+    points = sw.Affine(px, py, pinf)
+
+    scalars_int = [rng.randrange(curve.order) for _ in range(n)]
+    s = fp.from_ints(curve.scalar, scalars_int)
+
+    c = int(c_env) if c_env else pippenger.default_window_bits(n)
+    log(f"msm: n=2^{npow} c={c}")
+
+    # warmup/compile
+    t0 = time.time()
+    res = pippenger.msm(curve, points, s, c=c)
+    jax.block_until_ready(res)
+    log(f"first run (incl. compile): {time.time()-t0:.1f}s")
+
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        res = pippenger.msm(curve, points, s, c=c)
+        jax.block_until_ready(res)
+    dt = (time.time() - t0) / iters
+    pts_per_s = n / dt
+    log(f"steady-state: {dt*1e3:.1f} ms per MSM -> {pts_per_s:.3e} points/s")
+
+    print(json.dumps({
+        "metric": f"bls12_377_msm_points_per_s_2^{npow}",
+        "value": pts_per_s,
+        "unit": "points/s",
+        "vs_baseline": pts_per_s / BASELINE_POINTS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -190,6 +190,37 @@ def mul_scalar(curve: CurveSpec, p: Point, s: jax.Array, nbits=None) -> Point:
                              identity(curve, p.batch_shape))
 
 
+def sum_points_scan(curve: CurveSpec, p: Point, axis: int = 0,
+                    group: int = 256) -> Point:
+    """Reduce points along `axis` with bounded trace size: a fori scan over
+    slabs of `group` lanes (ONE traced add) followed by an unrolled tree over
+    the final group (log2(group) traced adds).  Use instead of `sum_points`
+    whenever the reduced length is large — same result, same total work,
+    much smaller compiled graph."""
+    p = Point(jnp.moveaxis(p.x, axis, 0), jnp.moveaxis(p.y, axis, 0),
+              jnp.moveaxis(p.z, axis, 0))
+    m = p.x.shape[0]
+    if m <= 2 * group:
+        out = sum_points(curve, p, axis=0)
+        return out
+    steps = -(-m // group)
+    pad = steps * group - m
+    if pad:
+        idp = identity(curve, (pad,) + p.x.shape[1:-1])
+        p = Point(jnp.concatenate([p.x, idp.x]), jnp.concatenate([p.y, idp.y]),
+                  jnp.concatenate([p.z, idp.z]))
+    rx = p.x.reshape(steps, group, *p.x.shape[1:])
+    ry = p.y.reshape(steps, group, *p.y.shape[1:])
+    rz = p.z.reshape(steps, group, *p.z.shape[1:])
+
+    def body(t, acc):
+        return tuple(add(curve, Point(*acc), Point(rx[t], ry[t], rz[t])))
+
+    init = identity(curve, rx.shape[1:-1])
+    acc = Point(*jax.lax.fori_loop(0, steps, body, tuple(init)))
+    return sum_points(curve, acc, axis=0)
+
+
 def sum_points(curve: CurveSpec, p: Point, axis: int = 0) -> Point:
     """Log-depth tree reduction of points along `axis` (any length)."""
     p = Point(jnp.moveaxis(p.x, axis, 0), jnp.moveaxis(p.y, axis, 0),

@@ -76,8 +76,7 @@ def signed_digits(curve: CurveSpec, c: int, n_win: int, scalars: jax.Array):
     return jnp.stack(digits)  # (n_win, n)
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def bucket_counts(c: int, digits_w: jax.Array):
+def _bucket_counts_core(c: int, digits_w: jax.Array):
     """Per-window stable grouping: returns (perm, starts, counts, max_count)
     for buckets 1..2^(c-1) (bucket 0 contributes nothing)."""
     b = jnp.abs(digits_w)
@@ -91,60 +90,105 @@ def bucket_counts(c: int, digits_w: jax.Array):
     return perm, starts, counts, jnp.max(counts[1:])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def accumulate_pass(curve: CurveSpec, px, py, c: int, cap: int,
-                    digits_w, perm, starts, counts, rank0):
-    """One rectangle pass: bucket sums for per-bucket ranks
-    [rank0, rank0+cap), as projective points (n_buckets_eff lanes)."""
+@functools.partial(jax.jit, static_argnums=0)
+def bucket_counts_all(c: int, digits: jax.Array):
+    """Grouping for every window at once: digits (n_win, n)."""
+    return jax.vmap(functools.partial(_bucket_counts_core, c))(digits)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def accumulate_pass_all(curve: CurveSpec, c: int, cap: int, px, py,
+                        digits, perm, starts, counts, rank0):
+    """Rectangle pass for ALL windows: bucket sums for per-bucket ranks
+    [rank0, rank0+cap) as projective points, shape (n_win, 2^(c-1)) lanes.
+
+    Structured as a fori scan along the rank axis: each step gathers one
+    point per (window, bucket) lane and performs a single wide *mixed*
+    complete add (n_win * 2^(c-1) lanes).  One traced add body keeps the
+    graph small; padding ranks arrive as infinity lanes which the complete
+    formulas absorb.  This is the TPU replacement for the GPU's
+    sort+warp-converged bucket adds (`ComputeBucketSums.cu:136`)."""
     n = px.shape[0]
     n_buckets_eff = 1 << (c - 1)  # buckets 1..2^(c-1)
-    bidx = jnp.arange(1, n_buckets_eff + 1)
-    r = jnp.arange(cap)
-    pos = starts[bidx][:, None] + rank0 + r[None, :]          # (B, cap)
-    valid = (rank0 + r[None, :]) < counts[bidx][:, None]
-    pos_c = jnp.clip(pos, 0, n - 1)
-    idx = perm[pos_c]                                          # (B, cap)
-    gx = jnp.take(px, idx, axis=0)
-    gy = jnp.take(py, idx, axis=0)
-    sign = jnp.take(digits_w, idx) < 0
-    gy = fp.select(sign, fp.neg(curve.field, gy), gy)
-    aff = sw.Affine(gx, gy, ~valid)
-    pts = sw.from_affine(curve, aff)
-    return sw.sum_points(curve, pts, axis=1)                  # (B,) lanes
+    starts_b = starts[:, 1:n_buckets_eff + 1]                # (W, B)
+    counts_b = counts[:, 1:n_buckets_eff + 1]
+
+    def body(t, acc):
+        acc = sw.Point(*acc)
+        r = rank0 + t
+        pos = jnp.clip(starts_b + r, 0, n - 1)               # (W, B)
+        valid = r < counts_b
+        idx = jnp.take_along_axis(perm, pos, axis=1)         # (W, B)
+        gx = jnp.take(px, idx, axis=0)                       # (W, B, L)
+        gy = jnp.take(py, idx, axis=0)
+        sign = jnp.take_along_axis(digits, idx, axis=1) < 0
+        gy = fp.select(sign, fp.neg(curve.field, gy), gy)
+        aff = sw.Affine(gx, gy, ~valid)
+        return tuple(sw.add_mixed(curve, acc, aff))
+
+    init = sw.identity(curve, (digits.shape[0], n_buckets_eff))
+    out = jax.lax.fori_loop(0, cap, body, tuple(init))
+    return sw.Point(*out)
+
+
+def _merge_buckets_core(curve: CurveSpec, c: int, bucket_sums: sw.Point
+                        ) -> sw.Point:
+    """sum_b b * B_b via bit-decomposition of b: ONE batched tree reduction
+    over a (c, n_buckets) masked expansion computes all per-bit sums S_j
+    simultaneously (log-depth, replaces the sequential triangle reduction of
+    `HostReduce.cpp:31-60`), then a small fori loop folds sum_j 2^j S_j."""
+    n_buckets_eff = bucket_sums.x.shape[0]
+    # buckets run 1..2^(c-1) inclusive: the top bucket needs bit c-1
+    n_bits = max(1, c)
+    b_ids = np.arange(1, n_buckets_eff + 1, dtype=np.uint32)
+    mask = jnp.asarray(
+        np.stack([((b_ids >> j) & 1) == 1 for j in range(n_bits)]))  # (bits, B)
+    expanded = sw.select(
+        mask,
+        sw.Point(bucket_sums.x[None], bucket_sums.y[None], bucket_sums.z[None]),
+        sw.identity(curve, (n_bits, n_buckets_eff)))
+    s = sw.sum_points_scan(curve, expanded, axis=1)       # (bits,) points
+
+    def body(k, acc):
+        acc = sw.Point(*acc)
+        j = n_bits - 1 - k
+        acc = sw.dbl(curve, acc)
+        return tuple(sw.add(curve, acc,
+                            sw.Point(s.x[j], s.y[j], s.z[j])))
+
+    init = sw.Point(s.x[n_bits - 1], s.y[n_bits - 1], s.z[n_bits - 1])
+    out = jax.lax.fori_loop(1, n_bits, body, tuple(init))
+    return sw.Point(*out)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def merge_buckets(curve: CurveSpec, c: int, bucket_sums: sw.Point) -> sw.Point:
-    """sum_b b * B_b via bit-decomposition of b (log-depth, replaces the
-    sequential triangle reduction of `HostReduce.cpp:31-60`)."""
-    n_buckets_eff = bucket_sums.x.shape[0]
-    b_ids = jnp.arange(1, n_buckets_eff + 1, dtype=jnp.uint32)
-    acc = None
-    for j in range(c - 2, -1, -1):
-        mask = ((b_ids >> j) & 1) == 1
-        masked = sw.select(mask, bucket_sums,
-                           sw.identity(curve, (n_buckets_eff,)))
-        s_j = sw.sum_points(curve, masked, axis=0)
-        if acc is None:
-            acc = s_j
-        else:
-            acc = sw.add(curve, sw.dbl(curve, acc), s_j)
-    return acc
+def merge_buckets_all(curve: CurveSpec, c: int, bucket_sums: sw.Point
+                      ) -> sw.Point:
+    """Window merge for all windows at once: bucket_sums (n_win, B) lanes."""
+    return jax.vmap(functools.partial(_merge_buckets_core, curve, c))(
+        bucket_sums)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def combine_windows(curve: CurveSpec, c: int, window_sums: sw.Point) -> sw.Point:
-    """result = sum_w 2^(c*w) W_w, MSB-first with c doublings per step."""
+    """result = sum_w 2^(c*w) W_w, MSB-first with c doublings per window
+    (loop-structured: the graph holds one dbl and one add body)."""
     n_win = window_sums.x.shape[0]
-    acc = sw.Point(window_sums.x[n_win - 1], window_sums.y[n_win - 1],
-                   window_sums.z[n_win - 1])
-    for w in range(n_win - 2, -1, -1):
-        for _ in range(c):
-            acc = sw.dbl(curve, acc)
-        acc = sw.add(curve, acc,
-                     sw.Point(window_sums.x[w], window_sums.y[w],
-                              window_sums.z[w]))
-    return acc
+
+    def body(i, acc):
+        acc = sw.Point(*acc)
+        w = n_win - 1 - i
+        acc = jax.lax.fori_loop(
+            0, c, lambda _, a: tuple(sw.dbl(curve, sw.Point(*a))), tuple(acc))
+        acc = sw.Point(*acc)
+        return tuple(sw.add(curve, acc,
+                            sw.Point(window_sums.x[w], window_sums.y[w],
+                                     window_sums.z[w])))
+
+    init = sw.Point(window_sums.x[n_win - 1], window_sums.y[n_win - 1],
+                    window_sums.z[n_win - 1])
+    out = jax.lax.fori_loop(1, n_win, body, tuple(init))
+    return sw.Point(*out)
 
 
 def msm(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
@@ -167,24 +211,18 @@ def msm(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
         mean = max(1, n // (1 << (c - 1)))
         cap = 1 << int(math.ceil(math.log2(mean * 2 + 8)))
     digits = signed_digits(curve, c, n_win, scalars)
-
-    window_sums = []
-    for w in range(n_win):
-        d_w = digits[w]
-        perm, starts, counts, max_count = bucket_counts(c, d_w)
-        passes = max(1, -(-int(jax.device_get(max_count)) // cap))
-        bucket_sums = accumulate_pass(curve, points.x, points.y, c, cap,
-                                      d_w, perm, starts, counts, 0)
-        for k in range(1, passes):
-            extra = accumulate_pass(curve, points.x, points.y, c, cap,
-                                    d_w, perm, starts, counts, k * cap)
-            bucket_sums = sw.add(curve, bucket_sums, extra)
-        window_sums.append(merge_buckets(curve, c, bucket_sums))
-
-    stacked = sw.Point(jnp.stack([p.x for p in window_sums]),
-                       jnp.stack([p.y for p in window_sums]),
-                       jnp.stack([p.z for p in window_sums]))
-    return combine_windows(curve, c, stacked)
+    # input identity points contribute nothing: zero their digits
+    digits = jnp.where(points.inf[None, :], 0, digits)
+    perm, starts, counts, max_counts = bucket_counts_all(c, digits)
+    passes = max(1, -(-int(jax.device_get(jnp.max(max_counts))) // cap))
+    bucket_sums = accumulate_pass_all(curve, c, cap, points.x, points.y,
+                                      digits, perm, starts, counts, 0)
+    for k in range(1, passes):
+        extra = accumulate_pass_all(curve, c, cap, points.x, points.y,
+                                    digits, perm, starts, counts, k * cap)
+        bucket_sums = sw.add(curve, bucket_sums, extra)
+    window_sums = merge_buckets_all(curve, c, bucket_sums)
+    return combine_windows(curve, c, window_sums)
 
 
 def msm_jit_static(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
@@ -196,14 +234,9 @@ def msm_jit_static(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
     and occupancy bounds hold with overwhelming margin."""
     n_win = num_windows(curve, c)
     digits = signed_digits(curve, c, n_win, scalars)
-    sums = []
-    for w in range(n_win):
-        d_w = digits[w]
-        perm, starts, counts, _ = bucket_counts(c, d_w)
-        bucket_sums = accumulate_pass(curve, points.x, points.y, c, cap_total,
-                                      d_w, perm, starts, counts, 0)
-        sums.append(merge_buckets(curve, c, bucket_sums))
-    stacked = sw.Point(jnp.stack([p.x for p in sums]),
-                       jnp.stack([p.y for p in sums]),
-                       jnp.stack([p.z for p in sums]))
-    return combine_windows(curve, c, stacked)
+    digits = jnp.where(points.inf[None, :], 0, digits)
+    perm, starts, counts, _ = bucket_counts_all(c, digits)
+    bucket_sums = accumulate_pass_all(curve, c, cap_total, points.x, points.y,
+                                      digits, perm, starts, counts, 0)
+    window_sums = merge_buckets_all(curve, c, bucket_sums)
+    return combine_windows(curve, c, window_sums)

@@ -1,0 +1,96 @@
+"""NTT evaluation domains: roots of unity and twiddle tables.
+
+Parity note: for Goldilocks we pin the primitive 2^32-th root of unity to
+the value used by the prize2-ntt reference vectors
+(`open-division/prize2-ntt/cosic/testvectors/testvectors.py:5`,
+omega for N=2^32), so transforms are bit-exact against the competition's
+golden files.  For other fields the root is derived from the field's
+multiplicative generator (same convention as arkworks Radix2 domains,
+cf. snarkVM `algorithms/src/fft/domain.rs`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import fp
+from ..field.spec import GOLDILOCKS, FieldSpec
+
+# Reference 2^32-th root for Goldilocks (cosic testvectors.py, N=2**32).
+_GOLDILOCKS_W32 = 11724716146725638212
+
+
+def primitive_root(spec: FieldSpec, log_n: int) -> int:
+    """A primitive 2^log_n-th root of unity as a python int."""
+    assert log_n <= spec.two_adicity, (
+        f"{spec.name} supports only 2^{spec.two_adicity} domains")
+    if spec.name == GOLDILOCKS.name:
+        w = _GOLDILOCKS_W32
+        for _ in range(32 - log_n):
+            w = w * w % spec.p
+        return w
+    w = spec.root_of_unity
+    for _ in range(spec.two_adicity - log_n):
+        w = w * w % spec.p
+    return w
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _power_table(spec: FieldSpec, count: int, w: int) -> jax.Array:
+    """[1, w, w^2, ..., w^(count-1)] built by log-doubling on device."""
+    pows = fp.ones(spec, (1,))
+    k = 1
+    while k < count:
+        step = fp.constant(spec, pow(w, k, spec.p), (min(k, count - k),))
+        nxt = fp.mul(spec, pows[:count - k], step)
+        pows = jnp.concatenate([pows, nxt], axis=0)
+        k *= 2
+    return pows[:count]
+
+
+class Domain:
+    """Radix-2 evaluation domain of size 2^log_n over `spec`.
+
+    Holds device twiddle tables; construct once and reuse (the analog of the
+    reference's cached twiddles, `ntt-cuda/ntt_parameters/ntt_twiddles.cu`).
+    """
+
+    _cache: dict = {}
+
+    def __new__(cls, spec: FieldSpec, log_n: int):
+        key = (spec.name, log_n)
+        if key in cls._cache:
+            return cls._cache[key]
+        # Guard: constructing (and caching) twiddles inside a jit trace would
+        # cache tracers; construct domains eagerly at the host level.
+        probe = jnp.zeros((), jnp.uint32) + 0
+        assert not isinstance(probe, jax.core.Tracer), (
+            "Domain must be constructed outside jit (twiddle cache would "
+            "capture tracers)")
+        self = super().__new__(cls)
+        self.spec = spec
+        self.log_n = log_n
+        self.n = 1 << log_n
+        self.w = primitive_root(spec, log_n)
+        self.w_inv = pow(self.w, spec.p - 2, spec.p)
+        self.n_inv = pow(self.n, spec.p - 2, spec.p)
+        # forward/inverse twiddles: powers up to n/2
+        half = max(1, self.n // 2)
+        self.pows = _power_table(spec, half, self.w)
+        self.pows_inv = _power_table(spec, half, self.w_inv)
+        self.bitrev = jnp.asarray(_bitrev_perm(log_n))
+        cls._cache[key] = self
+        return self
+
+
+def _bitrev_perm(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.uint32)
+    out = np.zeros_like(idx)
+    for b in range(log_n):
+        out |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return out.astype(np.int32)

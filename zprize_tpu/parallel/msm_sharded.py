@@ -1,0 +1,50 @@
+"""Points-sharded multi-chip MSM.
+
+Each device runs the full windowed Pippenger pipeline on its local point
+shard (embarrassingly parallel — the reference reaches the same structure
+with one GPU per scalar batch), then the per-device partial results (one
+projective point each) are all-gathered over ICI and tree-added, replicated.
+The collective payload is a few hundred bytes — the TPU-native replacement
+for the reference's PCIe result copies + host reduction
+(`MSM.cu:480-494` / `HostReduce.cpp`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..curve import sw
+from ..curve.spec import CurveSpec
+from ..msm.pippenger import msm_jit_static
+
+
+def msm_sharded(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
+                mesh: Mesh, c: int = 10, cap_total: int | None = None,
+                axis: str = "shard") -> sw.Point:
+    """MSM over points/scalars sharded on their leading axis.
+
+    `cap_total` is the per-device static bucket-occupancy budget (see
+    `msm_jit_static`); defaults to the full local shard size (always
+    correct, at worst rectangle = local n)."""
+    n = points.x.shape[0]
+    n_dev = mesh.devices.size
+    n_local = n // n_dev
+    if cap_total is None:
+        cap_total = n_local
+
+    def local(px, py, pinf, s):
+        res = msm_jit_static(curve, sw.Affine(px, py, pinf), s, c, cap_total)
+        gx = jax.lax.all_gather(res.x, axis)      # (D, L)
+        gy = jax.lax.all_gather(res.y, axis)
+        gz = jax.lax.all_gather(res.z, axis)
+        return sw.sum_points(curve, sw.Point(gx, gy, gz), axis=0)
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                       out_specs=P(),
+                       check_vma=False)
+    return sw.Point(*fn(points.x, points.y, points.inf, scalars))

@@ -1,0 +1,276 @@
+"""PLONK prover: 5-round structure, fully on-device polynomial pipeline.
+
+Round structure mirrors the reference's distributed TurboPLONK prover
+(`prize3-plonk-dizk/winderica/distributed/src/dispatcher.rs:569-640` and
+`worker/round{1..5}.rs`):
+  R1 wire commitments, R2 permutation product Z, R3 quotient t (split),
+  R4 evaluations at zeta, R5 batched KZG openings.
+TPU-first differences: no dispatcher/worker RPC — the transcript is
+replicated-deterministic; the running product for Z is a log-depth
+`associative_scan` (the collective analog of the reference's chained
+worker-i -> i+1 elementwise products, `worker/mod.rs:766-831`); the quotient
+is evaluated on a 4n coset with pure vector ops.
+
+This build omits zero-knowledge blinding (hiding randomizers) — proving
+throughput is the benchmark target, and blinding adds 2-3 coefficients per
+wire poly; tracked for a later round.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curve import sw
+from ..curve.spec import CurveSpec
+from ..field import fp
+from ..ntt.domain import Domain
+from ..ntt.radix2 import intt, ntt
+from ..pcs import kzg
+from ..poly import ops as poly_ops
+from .circuit import CompiledCircuit
+from .transcript import Transcript
+
+
+@dataclasses.dataclass
+class ProvingKey:
+    curve: CurveSpec
+    circuit: CompiledCircuit
+    srs: kzg.Srs
+    dom: Domain
+    dom4: Domain
+    coset_g: int
+    selectors: dict          # name -> coeff plane (n, L)
+    sigma_coeffs: jax.Array  # (3, n, L)
+    sigma_evals: jax.Array   # (3, n, L)
+    id_evals: jax.Array      # (3, n, L)
+    commitments: dict        # name -> affine point tuple (ints) for the VK
+
+
+@dataclasses.dataclass
+class VerifyingKey:
+    curve: CurveSpec
+    n: int
+    k1: int
+    k2: int
+    public_rows: list
+    commitments: dict        # selector/sigma commitments as sw.Point
+
+
+@dataclasses.dataclass
+class Proof:
+    wire_comms: list         # [a, b, c] sw.Point
+    z_comm: sw.Point
+    t_comms: list            # [lo, mid, hi]
+    evals: dict              # name -> (L,) plane
+    w_zeta: sw.Point
+    w_zeta_omega: sw.Point
+
+
+OPEN_ORDER = ["a", "b", "c", "z", "t_lo", "t_mid", "t_hi",
+              "ql", "qr", "qo", "qm", "qc", "s1", "s2", "s3"]
+
+
+def setup(curve: CurveSpec, circuit: CompiledCircuit, srs: kzg.Srs):
+    fr = curve.scalar
+    n = circuit.n
+    log_n = n.bit_length() - 1
+    dom = Domain(fr, log_n)
+    dom4 = Domain(fr, log_n + 2)
+    w = dom.w
+
+    selectors = {}
+    for name, arr in (("ql", circuit.ql), ("qr", circuit.qr),
+                      ("qo", circuit.qo), ("qm", circuit.qm),
+                      ("qc", circuit.qc)):
+        evals = fp.from_ints(fr, [int(v) % fr.p for v in arr])
+        selectors[name] = intt(dom, evals)
+
+    # identity / sigma permutation encodings: slot col*n+j -> k_col * w^j
+    ks = [1, circuit.k1, circuit.k2]
+    id_ints = [[ks[col] * pow(w, j, fr.p) % fr.p for j in range(n)]
+               for col in range(3)]
+    sig_ints = [[ks[int(s) // n] * pow(w, int(s) % n, fr.p) % fr.p
+                 for s in circuit.sigma[col]] for col in range(3)]
+    id_evals = fp.from_ints(fr, id_ints)
+    sigma_evals = fp.from_ints(fr, sig_ints)
+    sigma_coeffs = intt(dom, sigma_evals)
+
+    comms = {}
+    for name, coeffs in list(selectors.items()) + [
+            ("s1", sigma_coeffs[0]), ("s2", sigma_coeffs[1]),
+            ("s3", sigma_coeffs[2])]:
+        comms[name] = kzg.commit(srs, coeffs)
+
+    # coset generator: any element outside H_{4n}
+    g = fr.generator
+    assert pow(g, 4 * n, fr.p) != 1
+    pk = ProvingKey(curve, circuit, srs, dom, dom4, g, selectors,
+                    sigma_coeffs, sigma_evals, id_evals, comms)
+    vk = VerifyingKey(curve, n, circuit.k1, circuit.k2,
+                      list(circuit.public_rows), dict(comms))
+    return pk, vk
+
+
+def _coset_scale(fr, coeffs, g: int, n_out: int, inverse=False):
+    """coeff_i *= g^i (padding to n_out), via a host-precomputed power plane."""
+    p = fr.p
+    gg = pow(g, p - 2, p) if inverse else g
+    pows = fp.from_ints(fr, [pow(gg, i, p) for i in range(n_out)])
+    padded = poly_ops.pad_to(fr, coeffs, n_out)
+    return fp.mul(fr, padded, pows)
+
+
+def _coset_eval(pk: ProvingKey, coeffs):
+    return ntt(pk.dom4, _coset_scale(pk.curve.scalar, coeffs, pk.coset_g,
+                                     pk.dom4.n))
+
+
+def _cumprod_exclusive(fr, ratio):
+    """Exclusive running product along axis 0 via log-depth associative scan
+    (replaces the sequential Z loop of `worker/round2.rs:14-51`)."""
+    inc = jax.lax.associative_scan(lambda a, b: fp.mul(fr, a, b), ratio, axis=0)
+    one = fp.ones(fr, (1,))
+    return jnp.concatenate([one, inc[:-1]], axis=0)
+
+
+def prove(pk: ProvingKey, assignment: dict, public: list[int]) -> Proof:
+    curve, fr = pk.curve, pk.curve.scalar
+    n = pk.circuit.n
+    cc = pk.circuit
+    dom, dom4 = pk.dom, pk.dom4
+    p = fr.p
+
+    transcript = Transcript(curve)
+    for v in public:
+        transcript.absorb_fr(fp.constant(fr, v))
+
+    # --- wires and public-input polynomial -------------------------------
+    w_ints = cc.wire_values(assignment)
+    wires = fp.from_ints(fr, w_ints.tolist())          # (3, n, L)
+    pi_ints = [0] * n
+    for idx, row in enumerate(cc.public_rows):
+        pi_ints[row] = (-public[idx]) % p
+    pi_evals = fp.from_ints(fr, pi_ints)
+
+    wire_coeffs = intt(dom, wires)                      # (3, n, L)
+    wire_comms = [kzg.commit(pk.srs, wire_coeffs[i]) for i in range(3)]
+    for cm in wire_comms:
+        transcript.absorb_point(cm)
+    beta = transcript.challenge()
+    gamma = transcript.challenge()
+
+    # --- round 2: permutation product Z ----------------------------------
+    def lin(wcol, base):
+        return fp.add(fr, fp.add(fr, wcol, fp.mul(fr, beta, base)),
+                      jnp.broadcast_to(gamma, wcol.shape))
+
+    num = fp.mul(fr, fp.mul(fr, lin(wires[0], pk.id_evals[0]),
+                            lin(wires[1], pk.id_evals[1])),
+                 lin(wires[2], pk.id_evals[2]))
+    den = fp.mul(fr, fp.mul(fr, lin(wires[0], pk.sigma_evals[0]),
+                            lin(wires[1], pk.sigma_evals[1])),
+                 lin(wires[2], pk.sigma_evals[2]))
+    ratio = fp.mul(fr, num, fp.batch_inv(fr, den))
+    z_evals = _cumprod_exclusive(fr, ratio)
+    z_coeffs = intt(dom, z_evals)
+    z_comm = kzg.commit(pk.srs, z_coeffs)
+    transcript.absorb_point(z_comm)
+    alpha = transcript.challenge()
+
+    # --- round 3: quotient on the 4n coset -------------------------------
+    ca = _coset_eval(pk, wire_coeffs[0])
+    cb = _coset_eval(pk, wire_coeffs[1])
+    ccw = _coset_eval(pk, wire_coeffs[2])
+    cz = _coset_eval(pk, z_coeffs)
+    cz_w = jnp.roll(cz, -4, axis=0)                    # z(w x) on the coset
+    csel = {k: _coset_eval(pk, v) for k, v in pk.selectors.items()}
+    cpi = _coset_eval(pk, intt(dom, pi_evals))
+    cs = [_coset_eval(pk, pk.sigma_coeffs[i]) for i in range(3)]
+
+    # coset points x = g * w4^i
+    half = dom4.pows                                    # (2n4, L) forward pows
+    full_pows = jnp.concatenate([half, fp.neg(fr, half)], axis=0)
+    xs = fp.mul(fr, full_pows, fp.constant(fr, pk.coset_g))
+
+    gate = fp.add_many(fr, [
+        fp.mul(fr, csel["qm"], fp.mul(fr, ca, cb)),
+        fp.mul(fr, csel["ql"], ca),
+        fp.mul(fr, csel["qr"], cb),
+        fp.mul(fr, csel["qo"], ccw),
+        csel["qc"], cpi])
+
+    def lin4(wc, base):
+        return fp.add(fr, fp.add(fr, wc, fp.mul(fr, beta, base)),
+                      jnp.broadcast_to(gamma, wc.shape))
+
+    k1c = fp.mul_const(fr, xs, cc.k1) if cc.k1 < (1 << 15) else \
+        fp.mul(fr, xs, fp.constant(fr, cc.k1))
+    k2c = fp.mul_const(fr, xs, cc.k2) if cc.k2 < (1 << 15) else \
+        fp.mul(fr, xs, fp.constant(fr, cc.k2))
+    perm_a = fp.mul(fr, fp.mul(fr, lin4(ca, xs), lin4(cb, k1c)),
+                    fp.mul(fr, lin4(ccw, k2c), cz))
+    perm_b = fp.mul(fr, fp.mul(fr, lin4(ca, cs[0]), lin4(cb, cs[1])),
+                    fp.mul(fr, lin4(ccw, cs[2]), cz_w))
+    perm = fp.mul(fr, fp.sub(fr, perm_a, perm_b), alpha)
+
+    # L1 on the coset: coeffs are all 1/n
+    n_inv = pow(n, p - 2, p)
+    l1_coeffs = fp.from_ints(fr, [n_inv] * n)
+    cl1 = _coset_eval(pk, l1_coeffs)
+    z_minus_1 = fp.sub(fr, cz, fp.ones(fr, cz.shape[:-1]))
+    l1term = fp.mul(fr, fp.mul(fr, fp.mul(fr, alpha, alpha),
+                               fp.mul(fr, cl1, z_minus_1)),
+                    fp.ones(fr, cz.shape[:-1]))
+
+    numerator = fp.add_many(fr, [gate, perm, l1term])
+
+    # 1 / Z_H on the coset: x^n - 1 cycles with period 4
+    gn = pow(pk.coset_g, n, p)
+    w4n = pow(dom4.w, n, p)                            # primitive 4th root
+    zh_vals = [(gn * pow(w4n, i, p) - 1) % p for i in range(4)]
+    zh_inv = [pow(v, p - 2, p) for v in zh_vals]
+    zh_inv_plane = fp.from_ints(fr, zh_inv * (dom4.n // 4))
+    t_evals = fp.mul(fr, numerator, zh_inv_plane)
+
+    t_coeffs = _coset_scale(fr, intt(dom4, t_evals), pk.coset_g, dom4.n,
+                            inverse=True)
+    # degree < 3n (no blinding): split into three n-chunks
+    t_lo, t_mid, t_hi = (t_coeffs[:n], t_coeffs[n:2 * n], t_coeffs[2 * n:3 * n])
+    t_comms = [kzg.commit(pk.srs, t) for t in (t_lo, t_mid, t_hi)]
+    for cm in t_comms:
+        transcript.absorb_point(cm)
+    zeta = transcript.challenge()
+
+    # --- round 4: evaluations at zeta ------------------------------------
+    omega = fp.constant(fr, dom.w)
+    zeta_omega = fp.mul(fr, zeta, omega)
+    polys = {"a": wire_coeffs[0], "b": wire_coeffs[1], "c": wire_coeffs[2],
+             "z": z_coeffs, "t_lo": t_lo, "t_mid": t_mid, "t_hi": t_hi,
+             "ql": pk.selectors["ql"], "qr": pk.selectors["qr"],
+             "qo": pk.selectors["qo"], "qm": pk.selectors["qm"],
+             "qc": pk.selectors["qc"], "s1": pk.sigma_coeffs[0],
+             "s2": pk.sigma_coeffs[1], "s3": pk.sigma_coeffs[2]}
+    evals = {k: poly_ops.evaluate(fr, v, zeta) for k, v in polys.items()}
+    evals["z_omega"] = poly_ops.evaluate(fr, z_coeffs, zeta_omega)
+    for name in OPEN_ORDER:
+        transcript.absorb_fr(evals[name])
+    transcript.absorb_fr(evals["z_omega"])
+    v_ch = transcript.challenge()
+
+    # --- round 5: batched openings ---------------------------------------
+    combined = None
+    v_pow = fp.ones(fr)
+    for name in OPEN_ORDER:
+        term = fp.mul(fr, poly_ops.pad_to(fr, polys[name], n), v_pow)
+        combined = term if combined is None else fp.add(fr, combined, term)
+        v_pow = fp.mul(fr, v_pow, v_ch)
+    q_zeta, _ = poly_ops.divide_linear(fr, combined, zeta)
+    w_zeta = kzg.commit(pk.srs, q_zeta)
+    q_zw, _ = poly_ops.divide_linear(fr, z_coeffs, zeta_omega)
+    w_zeta_omega = kzg.commit(pk.srs, q_zw)
+
+    return Proof(wire_comms, z_comm, t_comms, evals, w_zeta, w_zeta_omega)

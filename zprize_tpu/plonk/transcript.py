@@ -1,0 +1,55 @@
+"""Poseidon-based Fiat–Shamir transcript.
+
+Plays the role of the reference's transcripts (jf-plonk
+`plonk/src/transcript.rs`; snarkVM `fiat_shamir_algebraic_sponge.rs`):
+deterministic challenge derivation from absorbed commitments/evaluations.
+On the distributed path this runs replicated on every host (SURVEY.md §5),
+removing the dispatcher round-trip the reference pays.
+
+Encoding: Fq coordinates (377 bits) are absorbed into the Fr sponge as two
+Fr elements (low 13 limbs / high 13 limbs of the canonical form) — an
+injective, branch-free embedding.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..curve import sw
+from ..curve.spec import CurveSpec
+from ..field import fp
+from ..field.spec import BLS12_377_FR
+from ..hash import poseidon
+from ..hash.grain import snarkvm_config
+
+
+class Transcript:
+    def __init__(self, curve: CurveSpec, label: int = 0x504C4F4E4B):  # "PLONK"
+        self.curve = curve
+        self.fr = curve.scalar
+        cfg = snarkvm_config(self.fr, 2)
+        self.sponge = poseidon.Sponge(cfg)
+        self.sponge.absorb([fp.constant(self.fr, label)])
+
+    def _embed_fq(self, x) -> list:
+        """Canonical Fq plane -> two Fr planes (low/high limb halves)."""
+        can = fp.to_canonical(self.curve.field, x)
+        nf = self.curve.field.n_limbs
+        half = nf // 2
+        nr = self.fr.n_limbs
+        lo = jnp.zeros(can.shape[:-1] + (nr,), jnp.uint32)
+        hi = jnp.zeros(can.shape[:-1] + (nr,), jnp.uint32)
+        lo = lo.at[..., :half].set(can[..., :half])
+        hi = hi.at[..., :nf - half].set(can[..., half:])
+        return [lo, hi]
+
+    def absorb_point(self, p: sw.Point):
+        aff = sw.to_affine(self.curve, p)
+        self.sponge.absorb(self._embed_fq(aff.x) + self._embed_fq(aff.y))
+
+    def absorb_fr(self, x):
+        self.sponge.absorb([x])
+
+    def challenge(self):
+        """One Fr challenge (a squeezed sponge element)."""
+        return self.sponge.squeeze(1)[0]
