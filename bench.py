@@ -29,6 +29,9 @@ def log(*a):
 
 
 def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/zprize_tpu_jax_cache_tpu")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     npow = int(os.environ.get("BENCH_NPOW", "16"))
     seed = int(os.environ.get("MSM_SEED", "42"))
     c_env = os.environ.get("BENCH_WINDOW")
@@ -53,7 +56,10 @@ def main():
     import ec_ref
     n_base = min(n, 1 << 10)
     t0 = time.time()
-    base = ec_ref.random_subgroup_points(curve, n_base, seed=seed)
+    from zprize_tpu.utils import native as _native
+    base = (_native.point_chain(curve, seed % 1000, n_base)
+            if _native.available()
+            else ec_ref.random_subgroup_points(curve, n_base, seed=seed))
     log(f"generated {n_base} base points in {time.time()-t0:.1f}s")
     reps = n // n_base
     bx = fp.from_ints(curve.field, [p[0] for p in base])

@@ -9,9 +9,11 @@ runs anywhere; real-TPU benchmarking is `bench.py`'s job.
 import os
 import sys
 
-# Force CPU (the session env presets JAX_PLATFORMS=axon for the real chip);
-# set ZPRIZE_TEST_PLATFORM to override (e.g. to run the suite on TPU).
-os.environ["JAX_PLATFORMS"] = os.environ.get("ZPRIZE_TEST_PLATFORM", "cpu")
+# Force CPU (the session's axon sitecustomize registers the TPU plugin and
+# overrides jax_platforms via config, beating the env var); set
+# ZPRIZE_TEST_PLATFORM to run the suite on another platform instead.
+_platform = os.environ.get("ZPRIZE_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -23,3 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zprize_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)

@@ -175,10 +175,12 @@ def get_scalar_bit(s: jax.Array, j) -> jax.Array:
 
 
 def mul_scalar(curve: CurveSpec, p: Point, s: jax.Array, nbits=None) -> Point:
-    """Branch-free MSB-first double-and-add; s is a scalar-field limb plane.
+    """Branch-free MSB-first double-and-add; s is a scalar-field limb plane
+    (any redundant encoding — canonicalized here before bit extraction).
 
     Used for SRS generation and tests — NOT the MSM hot path (that is
     Pippenger in `msm/`)."""
+    s = fp.to_canonical(curve.scalar, s)
     nbits = nbits or curve.scalar.p.bit_length()
 
     def body(i, acc):

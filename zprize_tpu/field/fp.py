@@ -94,6 +94,7 @@ def _fold_pass(c: jax.Array, bounds: list[int], spec: FieldSpec
     lo_b = [min(b, LIMB_MASK + 1) for b in bounds[n:]]
     hi_b = [((b - 1) >> BASE_BITS) + 1 for b in bounds[n:]]
 
+    pad0 = [(0, 0)] * (c.ndim - 1)
     for part, part_b, row0 in ((lo_t, lo_b, 0), (hi_t, hi_b, 1)):
         if all(b <= 1 for b in part_b):
             continue
@@ -103,29 +104,29 @@ def _fold_pass(c: jax.Array, bounds: list[int], spec: FieldSpec
         assert int(pb.max()) < _U32_LIM, "fold product would overflow u32"
         col_tot = pb.sum(axis=0)  # (n,)
         direct = all(int(col_tot[k]) + out_b[k] <= _U32_LIM for k in range(n))
-        # Accumulate row by row to avoid materializing (..., n_tail, n).
+        # Whole-array: (..., n_tail, n) products feeding fused reductions
+        # (no dynamic-update-slice chains, no materialization after fusion).
+        prods = part[..., :, None] * T[row0:row0 + n_tail]
         if direct:
-            acc = out
-            for j in range(n_tail):
-                acc = acc + part[..., j:j + 1] * T[row0 + j]
-            out = acc
+            out = out + jnp.sum(prods, axis=-2, dtype=jnp.uint32)
             for k in range(n):
                 out_b[k] += int(col_tot[k])
         else:
-            for j in range(n_tail):
-                pj = part[..., j:j + 1] * T[row0 + j]        # (..., n) exact
-                out = out + (pj & _MASK)
-                phi = pj >> BASE_BITS                         # (..., n)
-                out = out.at[..., 1:].add(phi[..., :-1])
-                top_phi_b = (int(pb[j][n - 1]) >> BASE_BITS) + 1
-                if top_phi_b > 1:
-                    top = phi[..., n - 1:n]
-                    spill = top if spill is None else spill + top
-                    spill_b += top_phi_b - 1
-                for k in range(n):
-                    out_b[k] += min(int(pb[j][k]), LIMB_MASK)
-                    if k >= 1:
-                        out_b[k] += (int(pb[j][k - 1]) >> BASE_BITS)
+            s_lo = jnp.sum(prods & _MASK, axis=-2, dtype=jnp.uint32)
+            s_phi = jnp.sum(prods >> BASE_BITS, axis=-2, dtype=jnp.uint32)
+            out = out + s_lo
+            out = out + jnp.pad(s_phi[..., :-1], pad0 + [(1, 0)])
+            phi_col = [int(sum(pb[j][k] >> BASE_BITS for j in range(n_tail)))
+                       for k in range(n)]
+            if phi_col[n - 1] > 0:
+                top = s_phi[..., n - 1:n]
+                spill = top if spill is None else spill + top
+                spill_b += phi_col[n - 1]
+            for k in range(n):
+                out_b[k] += int(sum(min(int(pb[j][k]), LIMB_MASK)
+                                    for j in range(n_tail)))
+                if k >= 1:
+                    out_b[k] += phi_col[k - 1]
     if spill is not None:
         out = jnp.concatenate([out, spill], axis=-1)
         out_b.append(spill_b)
@@ -196,16 +197,69 @@ def sub(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
     return _normalize(a + nb, [v + (_NF - 1) for v in bounds], spec)
 
 
-def _mul_wide(a: jax.Array, b: jax.Array, n: int) -> tuple[jax.Array, list[int]]:
-    """Full schoolbook product as 2N columns with 15-bit split accumulation.
-
-    Row-by-row accumulation (never materializes an (..., N, N) tensor)."""
-    out_shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (2 * n,)
-    out = jnp.zeros(out_shape, jnp.uint32)
+@functools.lru_cache(maxsize=None)
+def _diag_select_matrix(n: int) -> np.ndarray:
+    """Constant 0/1 matrix S (2*n*n, 2n) mapping split partial products to
+    their output columns: row i*n+j -> column i+j (lo parts), row
+    n*n + i*n+j -> column i+j+1 (hi parts)."""
+    s = np.zeros((2 * n * n, 2 * n), np.float32)
     for i in range(n):
-        pp = a[..., i:i + 1] * b                  # (..., n) exact in uint32
-        out = out.at[..., i:i + n].add(pp & _MASK)
-        out = out.at[..., i + 1:i + 1 + n].add(pp >> BASE_BITS)
+        for j in range(n):
+            s[i * n + j, i + j] = 1.0
+            s[n * n + i * n + j, i + j + 1] = 1.0
+    return s
+
+
+# Above this flat batch size, big muls are processed in slabs via lax.map to
+# bound the (B, N, N) partial-product buffer.
+_MUL_CHUNK = 1 << 17
+
+
+def _mul_wide(a: jax.Array, b: jax.Array, n: int) -> tuple[jax.Array, list[int]]:
+    """Full schoolbook product as 2N columns.
+
+    TPU-first formulation: the partial-product plane (B, N, N) is split
+    15/15 (exact in uint32), cast to f32 (values < 2**17, exact), and the
+    anti-diagonal accumulation becomes ONE matmul against a constant 0/1
+    selection matrix — it runs on the MXU, every partial sum stays an
+    integer < 2**22 (exactly representable in f32), and the graph is a
+    handful of ops instead of a dynamic-update-slice chain.  Large batches
+    are processed in slabs via lax.map to bound the product buffer."""
+    bshape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, bshape + (n,))
+    b = jnp.broadcast_to(b, bshape + (n,))
+    flat_b = int(np.prod(bshape)) if bshape else 1
+    s_mat = jnp.asarray(_diag_select_matrix(n))
+
+    def one(a2, b2):
+        pp = a2[..., :, None] * b2[..., None, :]          # exact in uint32
+        lo = (pp & _MASK).astype(jnp.float32)
+        hi = (pp >> BASE_BITS).astype(jnp.float32)
+        flat = jnp.concatenate(
+            [lo.reshape(*a2.shape[:-1], n * n),
+             hi.reshape(*a2.shape[:-1], n * n)], axis=-1)
+        out = jax.lax.dot_general(
+            flat, s_mat, (((flat.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        return out.astype(jnp.uint32)
+
+    if flat_b > _MUL_CHUNK:
+        chunk = _MUL_CHUNK
+        af = a.reshape(flat_b, n)
+        bf = b.reshape(flat_b, n)
+        pad = (-flat_b) % chunk
+        if pad:
+            af = jnp.pad(af, ((0, pad), (0, 0)))
+            bf = jnp.pad(bf, ((0, pad), (0, 0)))
+        steps = (flat_b + pad) // chunk
+        out = jax.lax.map(lambda ab: one(ab[0], ab[1]),
+                          (af.reshape(steps, chunk, n),
+                           bf.reshape(steps, chunk, n)))
+        out = out.reshape(steps * chunk, 2 * n)[:flat_b].reshape(
+            *bshape, 2 * n)
+    else:
+        out = one(a, b)
+
     lo_max, hi_max = LIMB_MASK, (_U32_LIM - 1) >> BASE_BITS
     bounds = []
     for k in range(2 * n):
