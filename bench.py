@@ -75,17 +75,44 @@ def main():
     c = int(c_env) if c_env else pippenger.default_window_bits(n)
     log(f"msm: n=2^{npow} c={c}")
 
+    def sync(x):
+        # On the tunneled axon platform block_until_ready does not await
+        # remote execution; force a (tiny) transfer to synchronize.
+        return jax.device_get(x.z[..., 0])
+
     # warmup/compile
     t0 = time.time()
     res = pippenger.msm(curve, points, s, c=c)
-    jax.block_until_ready(res)
+    sync(res)
     log(f"first run (incl. compile): {time.time()-t0:.1f}s")
 
-    iters = 3
+    # correctness: reduce to the base points (sum the scalars of each clone
+    # mod r) and check against the native host oracle.
+    agg = [0] * n_base
+    for i, sc in enumerate(scalars_int):
+        agg[i % n_base] = (agg[i % n_base] + sc) % curve.order
+    expect = None
+    for pt, k in zip(base, agg):
+        expect = ec_ref.ec_add(expect, _native.scalar_mul(curve, pt[0], pt[1], k)
+                               if _native.available() else
+                               ec_ref.ec_mul(pt, k, curve.field.p),
+                               curve.field.p)
+    aff = sw.to_affine(curve, res)
+    got = (int(fp.to_ints(curve.field, aff.x)[()]),
+           int(fp.to_ints(curve.field, aff.y)[()]))
+    if got != expect:
+        log("RESULT MISMATCH — benchmark invalid")
+        print(json.dumps({"metric": f"bls12_377_msm_points_per_s_2^{npow}",
+                          "value": 0.0, "unit": "points/s",
+                          "vs_baseline": 0.0, "error": "result mismatch"}))
+        return
+    log("result verified against host oracle")
+
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.time()
     for _ in range(iters):
         res = pippenger.msm(curve, points, s, c=c)
-        jax.block_until_ready(res)
+        sync(res)
     dt = (time.time() - t0) / iters
     pts_per_s = n / dt
     log(f"steady-state: {dt*1e3:.1f} ms per MSM -> {pts_per_s:.3e} points/s")

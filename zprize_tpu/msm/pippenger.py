@@ -96,20 +96,26 @@ def bucket_counts_all(c: int, digits: jax.Array):
     return jax.vmap(functools.partial(_bucket_counts_core, c))(digits)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 9))
 def accumulate_pass_all(curve: CurveSpec, c: int, cap: int, px, py,
-                        digits, perm, starts, counts, rank0):
-    """Rectangle pass for ALL windows: bucket sums for per-bucket ranks
-    [rank0, rank0+cap) as projective points, shape (n_win, 2^(c-1)) lanes.
+                        digits, perm, starts, counts, n_buckets_eff=None,
+                        rank0=0):
+    """Rectangle pass for a stack of windows: bucket sums for per-bucket
+    ranks [rank0, rank0+cap) as projective points, shape
+    (n_win, n_buckets_eff) lanes.
 
     Structured as a fori scan along the rank axis: each step gathers one
     point per (window, bucket) lane and performs a single wide *mixed*
-    complete add (n_win * 2^(c-1) lanes).  One traced add body keeps the
-    graph small; padding ranks arrive as infinity lanes which the complete
-    formulas absorb.  This is the TPU replacement for the GPU's
-    sort+warp-converged bucket adds (`ComputeBucketSums.cu:136`)."""
+    complete add.  One traced add body keeps the graph small; padding ranks
+    arrive as infinity lanes which the complete formulas absorb.  This is
+    the TPU replacement for the GPU's sort+warp-converged bucket adds
+    (`ComputeBucketSums.cu:136`).  `n_buckets_eff` restricts the bucket
+    range (top carry windows have statically tiny digit ranges — giving
+    them a narrow rectangle instead of the full 2^(c-1) is what keeps the
+    skewed-occupancy windows cheap)."""
     n = px.shape[0]
-    n_buckets_eff = 1 << (c - 1)  # buckets 1..2^(c-1)
+    if n_buckets_eff is None:
+        n_buckets_eff = 1 << (c - 1)  # buckets 1..2^(c-1)
     starts_b = starts[:, 1:n_buckets_eff + 1]                # (W, B)
     counts_b = counts[:, 1:n_buckets_eff + 1]
 
@@ -134,12 +140,12 @@ def accumulate_pass_all(curve: CurveSpec, c: int, cap: int, px, py,
 def _merge_buckets_core(curve: CurveSpec, c: int, bucket_sums: sw.Point
                         ) -> sw.Point:
     """sum_b b * B_b via bit-decomposition of b: ONE batched tree reduction
-    over a (c, n_buckets) masked expansion computes all per-bit sums S_j
+    over a (bits, n_buckets) masked expansion computes all per-bit sums S_j
     simultaneously (log-depth, replaces the sequential triangle reduction of
     `HostReduce.cpp:31-60`), then a small fori loop folds sum_j 2^j S_j."""
     n_buckets_eff = bucket_sums.x.shape[0]
-    # buckets run 1..2^(c-1) inclusive: the top bucket needs bit c-1
-    n_bits = max(1, c)
+    # buckets run 1..n_buckets_eff inclusive
+    n_bits = max(1, n_buckets_eff.bit_length())
     b_ids = np.arange(1, n_buckets_eff + 1, dtype=np.uint32)
     mask = jnp.asarray(
         np.stack([((b_ids >> j) & 1) == 1 for j in range(n_bits)]))  # (bits, B)
@@ -214,15 +220,50 @@ def msm(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
     # input identity points contribute nothing: zero their digits
     digits = jnp.where(points.inf[None, :], 0, digits)
     perm, starts, counts, max_counts = bucket_counts_all(c, digits)
-    passes = max(1, -(-int(jax.device_get(jnp.max(max_counts))) // cap))
-    bucket_sums = accumulate_pass_all(curve, c, cap, points.x, points.y,
-                                      digits, perm, starts, counts, 0)
-    for k in range(1, passes):
-        extra = accumulate_pass_all(curve, c, cap, points.x, points.y,
-                                    digits, perm, starts, counts, k * cap)
-        bucket_sums = sw.add(curve, bucket_sums, extra)
-    window_sums = merge_buckets_all(curve, c, bucket_sums)
-    return combine_windows(curve, c, window_sums)
+    max_np = np.asarray(jax.device_get(max_counts))
+
+    # Group windows by their static digit range: top carry windows cover
+    # only a few scalar bits, so their buckets concentrate — give them a
+    # narrow rectangle (their own effective window width) instead of the
+    # full 2^(c-1) lanes at crushing depth.
+    full_nbe = 1 << (c - 1)
+    scalar_bits = curve.scalar.p.bit_length()
+    groups: dict[int, list[int]] = {}
+    for w in range(n_win):
+        raw_bits = min(c, max(0, scalar_bits - w * c))
+        dmax = min(full_nbe, (1 << raw_bits) + 1)  # |digit| bound (carry incl)
+        nbe = min(full_nbe, max(4, 1 << (dmax - 1).bit_length()))
+        groups.setdefault(nbe, []).append(w)
+
+    window_sums = [None] * n_win
+    for nbe, ws in sorted(groups.items(), reverse=True):
+        widx = np.asarray(ws)
+        group_max = int(max_np[widx].max()) if len(widx) else 0
+        gcap = min(cap if nbe == full_nbe else 1 << 30,
+                   max(8, -(-group_max // 16) * 16))
+        jw = jnp.asarray(widx)
+        d_g, p_g = digits[jw], perm[jw]
+        s_g, c_g = starts[jw], counts[jw]
+        sums = accumulate_pass_all(curve, c, gcap, points.x, points.y,
+                                   d_g, p_g, s_g, c_g,
+                                   n_buckets_eff=nbe, rank0=0)
+        # fallback passes for occupancy beyond the cap (adversarial inputs)
+        covered = gcap
+        while group_max > covered:
+            cap2 = max(8, 1 << (group_max - covered - 1).bit_length())
+            extra = accumulate_pass_all(curve, c, cap2, points.x, points.y,
+                                        d_g, p_g, s_g, c_g,
+                                        n_buckets_eff=nbe, rank0=covered)
+            sums = sw.add(curve, sums, extra)
+            covered += cap2
+        merged = merge_buckets_all(curve, c, sums)
+        for k, w in enumerate(ws):
+            window_sums[w] = sw.Point(merged.x[k], merged.y[k], merged.z[k])
+
+    stacked = sw.Point(jnp.stack([p.x for p in window_sums]),
+                       jnp.stack([p.y for p in window_sums]),
+                       jnp.stack([p.z for p in window_sums]))
+    return combine_windows(curve, c, stacked)
 
 
 def msm_jit_static(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
@@ -237,6 +278,6 @@ def msm_jit_static(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
     digits = jnp.where(points.inf[None, :], 0, digits)
     perm, starts, counts, _ = bucket_counts_all(c, digits)
     bucket_sums = accumulate_pass_all(curve, c, cap_total, points.x, points.y,
-                                      digits, perm, starts, counts, 0)
+                                      digits, perm, starts, counts)
     window_sums = merge_buckets_all(curve, c, bucket_sums)
     return combine_windows(curve, c, window_sums)
