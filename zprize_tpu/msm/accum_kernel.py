@@ -1,0 +1,301 @@
+"""Pallas TPU kernel for the MSM bucket-accumulation inner step.
+
+The hot loop of the whole framework: acc <- acc + point (complete mixed
+add, RCB a=0) over all (window, bucket) lanes.  The XLA formulation moves
+every intermediate limb plane through HBM; this kernel keeps the entire
+working set in VMEM/registers (limb-major layout, see `fp_kernel.py`), so
+the only HBM traffic per step is the gathered points and the accumulator
+state.
+
+This is the L2 "kernel layer" of the SURVEY's architecture map — the role
+`ComputeBucketSums.cu` plays in the reference — expressed as a single
+branch-free vector program instead of a warp-converged scatter loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..curve.spec import CurveSpec
+from ..field import fp
+from ..field import fp_kernel as fk
+from ..field.spec import limbs_from_int
+
+
+def _mixed_add_body(curve: CurveSpec, acc_x, acc_y, acc_z, ax, ay, inf_mask,
+                    ft, neg2):
+    """Complete mixed add in limb-major kernel form; returns new (x, y, z).
+
+    Same RCB formula sequence as `sw.add_mixed` (kept in lockstep); inf
+    lanes pass the accumulator through.  `ft`/`neg2` are the reduction
+    tables (kernel inputs)."""
+    f = curve.field
+    t0 = fk.kmul(f, acc_x, ax, ft)
+    t1 = fk.kmul(f, acc_y, ay, ft)
+    t2 = acc_z
+    m_xy = fk.ksub(f, fk.kmul(f, fk.kadd(f, acc_x, acc_y, ft),
+                              fk.kadd(f, ax, ay, ft), ft),
+                   fk.kadd(f, t0, t1, ft), ft, neg2)
+    m_yz = fk.kadd(f, fk.kmul(f, ay, acc_z, ft), acc_y, ft)
+    m_xz = fk.kadd(f, fk.kmul(f, ax, acc_z, ft), acc_x, ft)
+    u = fk.ksub(f, t1, fk.kmul_const(f, t2, curve.b3, ft), ft, neg2)
+    v = fk.kadd(f, t1, fk.kmul_const(f, t2, curve.b3, ft), ft)
+    w = fk.kmul_const(f, m_xz, curve.b3, ft)
+    t3 = fk.kmul_const(f, t0, 3, ft)
+    x3 = fk.ksub(f, fk.kmul(f, m_xy, u, ft), fk.kmul(f, m_yz, w, ft), ft, neg2)
+    y3 = fk.kadd(f, fk.kmul(f, v, u, ft), fk.kmul(f, t3, w, ft), ft)
+    z3 = fk.kadd(f, fk.kmul(f, m_yz, v, ft), fk.kmul(f, m_xy, t3, ft), ft)
+    keep = inf_mask  # (1, T) uint32: 1 -> keep accumulator
+    sel = lambda new, old: jnp.where(keep != 0, old, new)
+    return sel(x3, acc_x), sel(y3, acc_y), sel(z3, acc_z)
+
+
+@functools.lru_cache(maxsize=None)
+def make_mixed_add(curve: CurveSpec, n_lanes: int, tile: int,
+                   interpret: bool = False):
+    """fn(acc_x, acc_y, acc_z, px, py, inf) -> (x, y, z); all limb-major
+    (N, n_lanes) u32 (inf: (1, n_lanes) u32); Pallas grid over lane tiles
+    with accumulator aliasing."""
+    f = curve.field
+    n = f.n_limbs
+    assert n_lanes % tile == 0
+
+    def kernel(ft_ref, neg2_ref, ax_ref, ay_ref, inf_ref,
+               x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref):
+        x, y, z = _mixed_add_body(
+            curve, x_ref[...], y_ref[...], z_ref[...],
+            ax_ref[...], ay_ref[...], inf_ref[...],
+            ft_ref[...], neg2_ref[...])
+        ox_ref[...] = x
+        oy_ref[...] = y
+        oz_ref[...] = z
+
+    lane_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    ft_spec = pl.BlockSpec((n, n + 2), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    neg2_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_lanes // tile,),
+        in_specs=[ft_spec, neg2_spec, lane_spec, lane_spec, mask_spec,
+                  lane_spec, lane_spec, lane_spec],
+        out_specs=(lane_spec, lane_spec, lane_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((n, n_lanes), jnp.uint32)
+                        for _ in range(3)),
+        input_output_aliases={5: 0, 6: 1, 7: 2},
+        interpret=interpret,
+    )
+
+    ft_np, neg2_np = fk.fold_table_t(f), fk.neg2_col(f)
+
+    def fn(acc_x, acc_y, acc_z, px, py, inf):
+        return call(jnp.asarray(ft_np), jnp.asarray(neg2_np),
+                    px, py, inf, acc_x, acc_y, acc_z)
+
+    return fn
+
+
+def _full_add_body(curve: CurveSpec, x1, y1, z1, x2, y2, z2, skip_mask,
+                   ft, neg2):
+    """Complete projective add (RCB a=0) in kernel form; `skip_mask` lanes
+    (1 -> skip) pass (x1, y1, z1) through."""
+    f = curve.field
+    t0 = fk.kmul(f, x1, x2, ft)
+    t1 = fk.kmul(f, y1, y2, ft)
+    t2 = fk.kmul(f, z1, z2, ft)
+    m_xy = fk.ksub(f, fk.kmul(f, fk.kadd(f, x1, y1, ft),
+                              fk.kadd(f, x2, y2, ft), ft),
+                   fk.kadd(f, t0, t1, ft), ft, neg2)
+    m_yz = fk.ksub(f, fk.kmul(f, fk.kadd(f, y1, z1, ft),
+                              fk.kadd(f, y2, z2, ft), ft),
+                   fk.kadd(f, t1, t2, ft), ft, neg2)
+    m_xz = fk.ksub(f, fk.kmul(f, fk.kadd(f, x1, z1, ft),
+                              fk.kadd(f, x2, z2, ft), ft),
+                   fk.kadd(f, t0, t2, ft), ft, neg2)
+    u = fk.ksub(f, t1, fk.kmul_const(f, t2, curve.b3, ft), ft, neg2)
+    v = fk.kadd(f, t1, fk.kmul_const(f, t2, curve.b3, ft), ft)
+    w = fk.kmul_const(f, m_xz, curve.b3, ft)
+    t3 = fk.kmul_const(f, t0, 3, ft)
+    x3 = fk.ksub(f, fk.kmul(f, m_xy, u, ft), fk.kmul(f, m_yz, w, ft), ft, neg2)
+    y3 = fk.kadd(f, fk.kmul(f, v, u, ft), fk.kmul(f, t3, w, ft), ft)
+    z3 = fk.kadd(f, fk.kmul(f, m_yz, v, ft), fk.kmul(f, m_xy, t3, ft), ft)
+    sel = lambda new, old: jnp.where(skip_mask != 0, old, new)
+    return sel(x3, x1), sel(y3, y1), sel(z3, z1)
+
+
+@functools.lru_cache(maxsize=None)
+def make_full_add(curve: CurveSpec, n_lanes: int, tile: int,
+                  interpret: bool = False):
+    """fn(x1, y1, z1, x2, y2, z2, skip) -> (x, y, z); limb-major planes."""
+    f = curve.field
+    n = f.n_limbs
+    assert n_lanes % tile == 0
+
+    def kernel(ft_ref, neg2_ref, x2_ref, y2_ref, z2_ref, skip_ref,
+               x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref):
+        x, y, z = _full_add_body(
+            curve, x_ref[...], y_ref[...], z_ref[...],
+            x2_ref[...], y2_ref[...], z2_ref[...], skip_ref[...],
+            ft_ref[...], neg2_ref[...])
+        ox_ref[...] = x
+        oy_ref[...] = y
+        oz_ref[...] = z
+
+    lane_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    ft_spec = pl.BlockSpec((n, n + 2), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    neg2_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_lanes // tile,),
+        in_specs=[ft_spec, neg2_spec, lane_spec, lane_spec, lane_spec,
+                  mask_spec, lane_spec, lane_spec, lane_spec],
+        out_specs=(lane_spec, lane_spec, lane_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((n, n_lanes), jnp.uint32)
+                        for _ in range(3)),
+        input_output_aliases={6: 0, 7: 1, 8: 2},
+        interpret=interpret,
+    )
+    ft_np, neg2_np = fk.fold_table_t(f), fk.neg2_col(f)
+
+    def fn(x1, y1, z1, x2, y2, z2, skip):
+        # tables materialized inside the caller's trace (never cached)
+        return call(jnp.asarray(ft_np), jnp.asarray(neg2_np),
+                    x2, y2, z2, skip, x1, y1, z1)
+
+    return fn
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def merge_buckets_pallas(curve: CurveSpec, c: int, interpret: bool,
+                         bucket_sums):
+    """Pallas variant of `pippenger.merge_buckets_all`: the masked per-bit
+    expansion is reduced with a fori scan of full-add kernel steps (group
+    columns per step), then a log tree over the final group, then the 2^j
+    fold (tiny) on the XLA side."""
+    from ..curve import sw
+    n_win, n_buckets_eff = bucket_sums.x.shape[:2]
+    n_bits = max(1, n_buckets_eff.bit_length())
+    f = curve.field
+    nl = f.n_limbs
+
+    b_ids = np.arange(1, n_buckets_eff + 1, dtype=np.uint32)
+    bitmask = np.stack([((b_ids >> j) & 1) == 0 for j in range(n_bits)])
+    # skip[w, j, b] = 1 if bucket b lacks bit j (same for all windows)
+    skip_np = np.broadcast_to(bitmask[None], (n_win, n_bits, n_buckets_eff))
+
+    group = 128
+    steps = max(1, n_buckets_eff // group)
+    gcols = n_buckets_eff // steps
+    lanes = n_win * n_bits * gcols
+    tile = 512 if lanes % 512 == 0 else (128 if lanes % 128 == 0 else None)
+    assert tile is not None, (n_win, n_bits, gcols)
+    add_fn = make_full_add(curve, lanes, tile, interpret)
+
+    # limb-major copies of bucket sums arranged (nl, n_win, steps, gcols)
+    bx = jnp.moveaxis(bucket_sums.x, -1, 0).reshape(nl, n_win, steps, gcols)
+    by = jnp.moveaxis(bucket_sums.y, -1, 0).reshape(nl, n_win, steps, gcols)
+    bz = jnp.moveaxis(bucket_sums.z, -1, 0).reshape(nl, n_win, steps, gcols)
+    skip = jnp.asarray(
+        skip_np.reshape(n_win, n_bits, steps, gcols).astype(np.uint32))
+
+    def body(t, acc):
+        q_x = jnp.broadcast_to(bx[:, :, t, None, :], (nl, n_win, n_bits, gcols)
+                               ).reshape(nl, lanes)
+        q_y = jnp.broadcast_to(by[:, :, t, None, :], (nl, n_win, n_bits, gcols)
+                               ).reshape(nl, lanes)
+        q_z = jnp.broadcast_to(bz[:, :, t, None, :], (nl, n_win, n_bits, gcols)
+                               ).reshape(nl, lanes)
+        sk = skip[:, :, t, :].reshape(1, lanes)
+        return add_fn(acc[0], acc[1], acc[2], q_x, q_y, q_z, sk)
+
+    one = jnp.broadcast_to(
+        jnp.asarray(limbs_from_int(1, nl))[:, None], (nl, lanes))
+    init = (jnp.zeros((nl, lanes), jnp.uint32), one,
+            jnp.zeros((nl, lanes), jnp.uint32))
+    acc = jax.lax.fori_loop(0, steps, body, init)
+    # tree over the group columns (XLA full adds on (n_win*n_bits, g) lanes)
+    pt = sw.Point(acc[0].T.reshape(n_win, n_bits, gcols, nl),
+                  acc[1].T.reshape(n_win, n_bits, gcols, nl),
+                  acc[2].T.reshape(n_win, n_bits, gcols, nl))
+    s = sw.sum_points(curve, pt, axis=2)        # (n_win, n_bits)
+
+    def fold(k, a):
+        a = sw.Point(*a)
+        j = n_bits - 1 - k
+        a = sw.dbl(curve, a)
+        return tuple(sw.add(curve, a, sw.Point(s.x[:, j], s.y[:, j],
+                                               s.z[:, j])))
+
+    init2 = sw.Point(s.x[:, n_bits - 1], s.y[:, n_bits - 1],
+                     s.z[:, n_bits - 1])
+    out = jax.lax.fori_loop(1, n_bits, fold, tuple(init2))
+    return sw.Point(*out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 9, 10))
+def accumulate_pass_pallas(curve: CurveSpec, c: int, cap: int, px, py,
+                           digits, perm, starts, counts, n_buckets_eff=None,
+                           interpret=False, rank0=0):
+    """Drop-in Pallas variant of `pippenger.accumulate_pass_all`: same
+    gather/control structure, but the wide mixed add runs in the kernel.
+    Lanes are padded to a tile multiple; padding lanes are infinity."""
+    n = px.shape[0]
+    if n_buckets_eff is None:
+        n_buckets_eff = 1 << (c - 1)
+    n_win = digits.shape[0]
+    lanes = n_win * n_buckets_eff
+    tile = 512 if lanes >= 512 else 128
+    pad_lanes = (-lanes) % tile
+    total = lanes + pad_lanes
+    f = curve.field
+    nl = f.n_limbs
+
+    starts_b = starts[:, 1:n_buckets_eff + 1].reshape(-1)      # (lanes,)
+    counts_b = counts[:, 1:n_buckets_eff + 1].reshape(-1)
+    if pad_lanes:
+        starts_b = jnp.pad(starts_b, (0, pad_lanes))
+        counts_b = jnp.pad(counts_b, (0, pad_lanes))           # count 0 -> inf
+    win_of_lane = jnp.pad(
+        jnp.repeat(jnp.arange(n_win, dtype=jnp.int32), n_buckets_eff),
+        (0, pad_lanes))
+
+    add_fn = make_mixed_add(curve, total, tile, interpret)
+
+    def body(t, acc):
+        r = rank0 + t
+        pos = jnp.clip(starts_b + r, 0, n - 1)                 # (total,)
+        idx = perm[win_of_lane, pos]
+        valid = r < counts_b
+        gx = jnp.take(px, idx, axis=0)                         # (total, N)
+        gy = jnp.take(py, idx, axis=0)
+        sign = digits[win_of_lane, idx] < 0
+        gy = fp.select(sign, fp.neg(f, gy), gy)
+        inf = (~valid).astype(jnp.uint32)[None, :]
+        return add_fn(acc[0], acc[1], acc[2], gx.T, gy.T, inf)
+
+    one = jnp.broadcast_to(
+        jnp.asarray(limbs_from_int(1, nl))[:, None], (nl, total))
+    init = (jnp.zeros((nl, total), jnp.uint32), one,
+            jnp.zeros((nl, total), jnp.uint32))
+    out = jax.lax.fori_loop(0, cap, body, init)
+    from ..curve import sw
+    x = out[0].T[:lanes].reshape(n_win, n_buckets_eff, nl)
+    y = out[1].T[:lanes].reshape(n_win, n_buckets_eff, nl)
+    z = out[2].T[:lanes].reshape(n_win, n_buckets_eff, nl)
+    return sw.Point(x, y, z)

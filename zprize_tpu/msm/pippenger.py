@@ -41,6 +41,15 @@ from ..field import fp
 from ..field.spec import BASE_BITS
 
 
+def _pallas_enabled() -> bool:
+    """Use the Pallas kernels on real TPU backends (env override for
+    debugging); the XLA path remains the CPU/test reference."""
+    import os
+    if os.environ.get("ZPRIZE_NO_PALLAS"):
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def default_window_bits(n: int) -> int:
     """Heuristic window size balancing accumulation (n*w adds) against the
     per-window merge ((c-1) * 2^(c-1) adds)."""
@@ -235,6 +244,20 @@ def msm(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
         nbe = min(full_nbe, max(4, 1 << (dmax - 1).bit_length()))
         groups.setdefault(nbe, []).append(w)
 
+    use_pallas = _pallas_enabled()
+    if use_pallas:
+        from .accum_kernel import accumulate_pass_pallas, merge_buckets_pallas
+
+        def acc_fn(curve, c, cap, px, py, d, p, s, ct, n_buckets_eff, rank0):
+            return accumulate_pass_pallas(curve, c, cap, px, py, d, p, s, ct,
+                                          n_buckets_eff=n_buckets_eff,
+                                          rank0=rank0)
+    else:
+        def acc_fn(curve, c, cap, px, py, d, p, s, ct, n_buckets_eff, rank0):
+            return accumulate_pass_all(curve, c, cap, px, py, d, p, s, ct,
+                                       n_buckets_eff=n_buckets_eff,
+                                       rank0=rank0)
+
     window_sums = [None] * n_win
     for nbe, ws in sorted(groups.items(), reverse=True):
         widx = np.asarray(ws)
@@ -244,19 +267,22 @@ def msm(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
         jw = jnp.asarray(widx)
         d_g, p_g = digits[jw], perm[jw]
         s_g, c_g = starts[jw], counts[jw]
-        sums = accumulate_pass_all(curve, c, gcap, points.x, points.y,
-                                   d_g, p_g, s_g, c_g,
-                                   n_buckets_eff=nbe, rank0=0)
+        sums = acc_fn(curve, c, gcap, points.x, points.y,
+                      d_g, p_g, s_g, c_g, nbe, 0)
         # fallback passes for occupancy beyond the cap (adversarial inputs)
         covered = gcap
         while group_max > covered:
             cap2 = max(8, 1 << (group_max - covered - 1).bit_length())
-            extra = accumulate_pass_all(curve, c, cap2, points.x, points.y,
-                                        d_g, p_g, s_g, c_g,
-                                        n_buckets_eff=nbe, rank0=covered)
+            extra = acc_fn(curve, c, cap2, points.x, points.y,
+                           d_g, p_g, s_g, c_g, nbe, covered)
             sums = sw.add(curve, sums, extra)
             covered += cap2
-        merged = merge_buckets_all(curve, c, sums)
+        lane_count = len(ws) * nbe * max(1, nbe.bit_length())
+        if use_pallas and lane_count >= 4096 and (len(ws) * max(1, nbe.bit_length()) * min(nbe, 128)) % 128 == 0:
+            from .accum_kernel import merge_buckets_pallas
+            merged = merge_buckets_pallas(curve, c, False, sums)
+        else:
+            merged = merge_buckets_all(curve, c, sums)
         for k, w in enumerate(ws):
             window_sums[w] = sw.Point(merged.x[k], merged.y[k], merged.z[k])
 
