@@ -32,7 +32,7 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/zprize_tpu_jax_cache_tpu")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-    npow = int(os.environ.get("BENCH_NPOW", "16"))
+    npow = int(os.environ.get("BENCH_NPOW", "18"))
     seed = int(os.environ.get("MSM_SEED", "42"))
     c_env = os.environ.get("BENCH_WINDOW")
     n = 1 << npow

@@ -55,7 +55,10 @@ def default_window_bits(n: int) -> int:
     per-window merge ((c-1) * 2^(c-1) adds)."""
     if n <= 0:
         return 4
-    return int(min(15, max(4, math.log2(max(n, 16)) - 3)))
+    # Empirically (v5e, pallas path): growing past 13 bits inflates the
+    # rectangle padding (bucket count rises faster than occupancy) and the
+    # merge work; 13 is the knee for 2^16..2^20.
+    return int(min(13, max(4, math.log2(max(n, 16)) - 3)))
 
 
 def num_windows(curve: CurveSpec, c: int) -> int:
