@@ -28,10 +28,66 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_ntt():
+    """Secondary metric: Goldilocks four-step NTT latency (prize2-ntt).
+    Baseline: supranational FPGA 2.47 ms at 2^24
+    (`prize2-ntt/supranational/README.md:462-467`)."""
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import random
+
+    from zprize_tpu.field import fp
+    from zprize_tpu.field.spec import GOLDILOCKS
+    from zprize_tpu.ntt.fourstep import intt_fourstep, ntt_fourstep
+
+    logn = int(os.environ.get("BENCH_NTT_LOGN", "24"))
+    l1, l2 = logn // 2, logn - logn // 2
+    n = 1 << logn
+    rng = random.Random(0)
+    # seeded sample prefix + tiled tail (host int conversion at 2^24 is slow)
+    sample = [rng.randrange(GOLDILOCKS.p) for _ in range(4096)]
+    a = jnp.tile(fp.from_ints(GOLDILOCKS, sample), (n // 4096, 1))
+    log(f"ntt: 2^{logn} goldilocks, four-step {l1}+{l2}")
+
+    t0 = time.time()
+    out = ntt_fourstep(GOLDILOCKS, a, l1, l2)
+    jax.device_get(out[0, 0])
+    log(f"first run (incl. compile): {time.time()-t0:.1f}s")
+
+    # correctness: roundtrip through the inverse transform
+    back = intt_fourstep(GOLDILOCKS, out, l1, l2)
+    ok = bool(jax.device_get(jnp.all(
+        fp.to_canonical(GOLDILOCKS, back[:4096])
+        == fp.to_canonical(GOLDILOCKS, a[:4096]))))
+    if not ok:
+        log("NTT ROUNDTRIP MISMATCH — benchmark invalid")
+        print(json.dumps({"metric": f"goldilocks_ntt_2^{logn}_ms",
+                          "value": 0.0, "unit": "ms", "vs_baseline": 0.0,
+                          "error": "roundtrip mismatch"}))
+        return
+    log("roundtrip verified")
+
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    t0 = time.time()
+    for _ in range(iters):
+        out = ntt_fourstep(GOLDILOCKS, a, l1, l2)
+        jax.device_get(out[0, 0])
+    dt = (time.time() - t0) / iters * 1e3
+    log(f"steady-state: {dt:.1f} ms per NTT")
+    # baseline: 2.47 ms (supranational FPGA, 2^24)
+    print(json.dumps({"metric": f"goldilocks_ntt_2^{logn}_ms",
+                      "value": dt, "unit": "ms",
+                      "vs_baseline": 2.47 / dt}))
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/zprize_tpu_jax_cache_tpu")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    if os.environ.get("BENCH_METRIC", "msm") == "ntt":
+        bench_ntt()
+        return
     npow = int(os.environ.get("BENCH_NPOW", "18"))
     seed = int(os.environ.get("MSM_SEED", "42"))
     c_env = os.environ.get("BENCH_WINDOW")
