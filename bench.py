@@ -41,6 +41,8 @@ def bench_ntt():
     from zprize_tpu.field.spec import GOLDILOCKS
     from zprize_tpu.ntt.fourstep import intt_fourstep, ntt_fourstep
 
+    from zprize_tpu.ntt import gl_kernel, gl_ops
+
     logn = int(os.environ.get("BENCH_NTT_LOGN", "24"))
     l1, l2 = logn // 2, logn - logn // 2
     n = 1 << logn
@@ -48,31 +50,32 @@ def bench_ntt():
     # seeded sample prefix + tiled tail (host int conversion at 2^24 is slow)
     sample = [rng.randrange(GOLDILOCKS.p) for _ in range(4096)]
     a = jnp.tile(fp.from_ints(GOLDILOCKS, sample), (n // 4096, 1))
-    log(f"ntt: 2^{logn} goldilocks, four-step {l1}+{l2}")
+    alo, ahi = gl_ops.from_limbs(GOLDILOCKS, a)
+    log(f"ntt: 2^{logn} goldilocks, packed four-step {l1}+{l2} (pallas)")
 
     t0 = time.time()
-    out = ntt_fourstep(GOLDILOCKS, a, l1, l2)
-    jax.device_get(out[0, 0])
+    olo, ohi = gl_kernel.ntt_fourstep_packed(l1, l2, alo, ahi)
+    jax.device_get(olo[0])
     log(f"first run (incl. compile): {time.time()-t0:.1f}s")
 
-    # correctness: roundtrip through the inverse transform
-    back = intt_fourstep(GOLDILOCKS, out, l1, l2)
-    ok = bool(jax.device_get(jnp.all(
-        fp.to_canonical(GOLDILOCKS, back[:4096])
-        == fp.to_canonical(GOLDILOCKS, a[:4096]))))
+    # correctness: full comparison against the generic-engine four-step
+    ref = ntt_fourstep(GOLDILOCKS, a, l1, l2)
+    rlo, rhi = gl_ops.from_limbs(GOLDILOCKS, ref)
+    clo, chi = gl_ops.gl_canon(olo, ohi)
+    ok = bool(jax.device_get(jnp.all((clo == rlo) & (chi == rhi))))
     if not ok:
-        log("NTT ROUNDTRIP MISMATCH — benchmark invalid")
+        log("NTT MISMATCH vs generic engine — benchmark invalid")
         print(json.dumps({"metric": f"goldilocks_ntt_2^{logn}_ms",
                           "value": 0.0, "unit": "ms", "vs_baseline": 0.0,
-                          "error": "roundtrip mismatch"}))
+                          "error": "mismatch"}))
         return
-    log("roundtrip verified")
+    log(f"all 2^{logn} outputs verified vs the generic engine")
 
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.time()
     for _ in range(iters):
-        out = ntt_fourstep(GOLDILOCKS, a, l1, l2)
-        jax.device_get(out[0, 0])
+        olo, ohi = gl_kernel.ntt_fourstep_packed(l1, l2, alo, ahi)
+        jax.device_get(olo[0])
     dt = (time.time() - t0) / iters * 1e3
     log(f"steady-state: {dt:.1f} ms per NTT")
     # baseline: 2.47 ms (supranational FPGA, 2^24)

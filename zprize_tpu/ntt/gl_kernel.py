@@ -1,0 +1,195 @@
+"""Pallas Goldilocks NTT: all butterfly stages fused in VMEM.
+
+The prize2-ntt hot path.  A whole 2^k-point transform (k <= 12) runs inside
+one kernel invocation per batch tile: positions on sublanes, batch on
+lanes; each stage is two sublane rolls + one packed Goldilocks multiply +
+a masked add/sub select (`gl_ops.py`), with position-expanded twiddle/mask
+tables passed as kernel inputs.  Data never touches HBM between stages —
+the TPU analog of supranational's 192-butterfly constant-geometry engine
+with on-chip twiddles (`rtl/ntt/ntt_cgram.sv`, `ntt_twiddle.sv`).
+
+Four-step composition (2^24 = 2^12 x 2^12) reuses the kernel for the
+column and row passes with an XLA transpose + elementwise twiddle pass in
+between (`fourstep` semantics, bit-exact vs the generic engine).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field.spec import GOLDILOCKS
+from .domain import _bitrev_perm, primitive_root
+from . import gl_ops as G
+
+Q = G.Q
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_tables(log_n: int, inverse: bool):
+    """Position-expanded per-stage twiddles and lo-half masks (numpy)."""
+    n = 1 << log_n
+    w = primitive_root(GOLDILOCKS, log_n)
+    if inverse:
+        w = pow(w, Q - 2, Q)
+    pows = [1] * (n // 2)
+    for k in range(1, n // 2):
+        pows[k] = pows[k - 1] * w % Q
+    twlo = np.zeros((log_n, n), np.uint32)
+    twhi = np.zeros((log_n, n), np.uint32)
+    mask = np.zeros((log_n, n), np.uint32)
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        for i in range(n):
+            j = (i % (m // 2)) * (n // m)
+            v = pows[j]
+            twlo[s - 1, i] = v & 0xFFFFFFFF
+            twhi[s - 1, i] = v >> 32
+            mask[s - 1, i] = 1 if (i % m) < m // 2 else 0
+    return twlo, twhi, mask
+
+
+@functools.lru_cache(maxsize=None)
+def _make_ntt_call(log_n: int, n_batch: int, tile: int, interpret: bool):
+    n = 1 << log_n
+    assert n_batch % tile == 0
+
+    def kernel(twlo_ref, twhi_ref, mask_ref, xlo_ref, xhi_ref,
+               olo_ref, ohi_ref):
+        xlo = xlo_ref[...]
+        xhi = xhi_ref[...]
+        for s in range(log_n):
+            sh = 1 << s                       # m/2 for stage s+1
+            tl = twlo_ref[s][:, None]
+            th = twhi_ref[s][:, None]
+            mk = mask_ref[s][:, None]
+            dn_lo = pltpu.roll(xlo, n - sh, axis=0)   # [i] <- x[i + sh]
+            dn_hi = pltpu.roll(xhi, n - sh, axis=0)
+            up_lo = pltpu.roll(xlo, sh, axis=0)       # [i] <- x[i - sh]
+            up_hi = pltpu.roll(xhi, sh, axis=0)
+            pick_lo = jnp.where(mk != 0, dn_lo, xlo)
+            pick_hi = jnp.where(mk != 0, dn_hi, xhi)
+            base_lo = jnp.where(mk != 0, xlo, up_lo)
+            base_hi = jnp.where(mk != 0, xhi, up_hi)
+            q_lo, q_hi = G.gl_mul(tl, th, pick_lo, pick_hi)
+            a_lo, a_hi = G.gl_add(base_lo, base_hi, q_lo, q_hi)
+            s_lo, s_hi = G.gl_sub(base_lo, base_hi, q_lo, q_hi)
+            xlo = jnp.where(mk != 0, a_lo, s_lo)
+            xhi = jnp.where(mk != 0, a_hi, s_hi)
+        olo_ref[...] = xlo
+        ohi_ref[...] = xhi
+
+    data_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec((log_n, n), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_batch // tile,),
+        in_specs=[tab_spec, tab_spec, tab_spec, data_spec, data_spec],
+        out_specs=(data_spec, data_spec),
+        out_shape=(jax.ShapeDtypeStruct((n, n_batch), jnp.uint32),
+                   jax.ShapeDtypeStruct((n, n_batch), jnp.uint32)),
+        interpret=interpret,
+    )
+
+
+# Largest transform run as a single fused kernel; larger sizes recurse via
+# the four-step split (the Mosaic compiler rejects very tall blocks).
+MAX_KERNEL_LOG = 9
+
+
+def _ntt_axis0(log_n: int, xlo, xhi, inverse: bool, tile: int,
+               interpret: bool):
+    """Unscaled (inverse uses w^-1 only) NTT over axis 0 of (n, B) planes."""
+    n, n_batch = xlo.shape
+    if log_n <= MAX_KERNEL_LOG:
+        br = jnp.asarray(_bitrev_perm(log_n).astype(np.int32))
+        xlo = jnp.take(xlo, br, axis=0)
+        xhi = jnp.take(xhi, br, axis=0)
+        twlo, twhi, mask = _stage_tables(log_n, inverse)
+        tile = min(tile, n_batch)
+        call = _make_ntt_call(log_n, n_batch, tile, interpret)
+        return call(jnp.asarray(twlo), jnp.asarray(twhi), jnp.asarray(mask),
+                    xlo, xhi)
+    # recursive four-step split along the position axis
+    l1 = min(MAX_KERNEL_LOG, log_n - MAX_KERNEL_LOG) \
+        if log_n > 2 * MAX_KERNEL_LOG else log_n // 2
+    l2 = log_n - l1
+    n1, n2 = 1 << l1, 1 << l2
+    v_lo = xlo.reshape(n1, n2 * n_batch)
+    v_hi = xhi.reshape(n1, n2 * n_batch)
+    c_lo, c_hi = _ntt_axis0(l1, v_lo, v_hi, inverse, tile, interpret)
+    c_lo = c_lo.reshape(n1, n2, n_batch)
+    c_hi = c_hi.reshape(n1, n2, n_batch)
+    tmlo, tmhi = _twiddle_matrix_packed(l1, l2, inverse)
+    c_lo, c_hi = G.gl_mul(jnp.asarray(tmlo)[:, :, None],
+                          jnp.asarray(tmhi)[:, :, None], c_lo, c_hi)
+    r_lo = jnp.swapaxes(c_lo, 0, 1).reshape(n2, n1 * n_batch)
+    r_hi = jnp.swapaxes(c_hi, 0, 1).reshape(n2, n1 * n_batch)
+    r_lo, r_hi = _ntt_axis0(l2, r_lo, r_hi, inverse, tile, interpret)
+    # R[k2, k1] = C[k1, k2]; out position index = k1 + n1*k2 = row-major (k2, k1)
+    return r_lo.reshape(n1 * n2, n_batch), r_hi.reshape(n1 * n2, n_batch)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def ntt_packed(log_n: int, xlo: jax.Array, xhi: jax.Array,
+               inverse: bool = False, tile: int = 128,
+               interpret: bool = False):
+    """Forward/inverse NTT over axis 0 of packed (n, B) planes.
+    Inverse includes the 1/n scale.  Jitted end-to-end (the table caches
+    hold numpy, so tracing never leaks)."""
+    n, n_batch = xlo.shape
+    assert n == 1 << log_n
+    olo, ohi = _ntt_axis0(log_n, xlo, xhi, inverse, tile, interpret)
+    if inverse:
+        n_inv = pow(n, Q - 2, Q)
+        olo, ohi = G.gl_mul(
+            jnp.full_like(olo, n_inv & 0xFFFFFFFF),
+            jnp.full_like(ohi, n_inv >> 32), olo, ohi)
+    return olo, ohi
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_matrix_packed(log_n1: int, log_n2: int, inverse: bool):
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    n = n1 * n2
+    w = primitive_root(GOLDILOCKS, log_n1 + log_n2)
+    if inverse:
+        w = pow(w, Q - 2, Q)
+    # rows: w^(k1*j2) = (w^k1)^j2; build per row with a running multiply
+    lo = np.zeros((n1, n2), np.uint32)
+    hi = np.zeros((n1, n2), np.uint32)
+    wk1 = 1
+    for k1 in range(n1):
+        v = 1
+        step = wk1
+        for j2 in range(n2):
+            lo[k1, j2] = v & 0xFFFFFFFF
+            hi[k1, j2] = v >> 32
+            v = v * step % Q
+        wk1 = wk1 * w % Q
+    return lo, hi
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def ntt_fourstep_packed(log_n1: int, log_n2: int, xlo, xhi,
+                        interpret: bool = False):
+    """Forward NTT of packed (n,) planes via four-step; returns natural
+    order (same convention as `fourstep.ntt_fourstep`)."""
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    mlo = xlo.reshape(n1, n2)
+    mhi = xhi.reshape(n1, n2)
+    # column transforms: positions along axis 0 already
+    clo, chi = ntt_packed(log_n1, mlo, mhi, interpret=interpret)
+    tlo, thi = _twiddle_matrix_packed(log_n1, log_n2, False)
+    clo, chi = G.gl_mul(jnp.asarray(tlo), jnp.asarray(thi), clo, chi)
+    # row transforms: transpose so positions are on axis 0
+    rlo, rhi = ntt_packed(log_n2, clo.T, chi.T, interpret=interpret)
+    # rlo is (n2, n1) = C^T with C[k1, k2]; A[k1 + n1 k2] = C[k1, k2]
+    return rlo.reshape(n1 * n2), rhi.reshape(n1 * n2)
