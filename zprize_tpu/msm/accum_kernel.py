@@ -248,13 +248,69 @@ def merge_buckets_pallas(curve: CurveSpec, c: int, interpret: bool,
     return sw.Point(*out)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 9, 10))
+@functools.lru_cache(maxsize=None)
+def make_mixed_add_multi(curve: CurveSpec, n_lanes: int, tile: int,
+                         ranks: int, interpret: bool = False):
+    """Rank-batched variant: one kernel call performs `ranks` sequential
+    mixed adds per lane (points shaped (N, ranks, n_lanes)), amortizing the
+    per-step gather/dispatch glue of the fori loop."""
+    f = curve.field
+    n = f.n_limbs
+    assert n_lanes % tile == 0
+
+    def kernel(ft_ref, neg2_ref, ax_ref, ay_ref, inf_ref,
+               x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref):
+        x, y, z = x_ref[...], y_ref[...], z_ref[...]
+        ft, neg2 = ft_ref[...], neg2_ref[...]
+        for r in range(ranks):
+            x, y, z = _mixed_add_body(
+                curve, x, y, z, ax_ref[:, r, :], ay_ref[:, r, :],
+                inf_ref[:, r, :], ft, neg2)
+        ox_ref[...] = x
+        oy_ref[...] = y
+        oz_ref[...] = z
+
+    lane_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    pts_spec = pl.BlockSpec((n, ranks, tile), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    pinf_spec = pl.BlockSpec((1, ranks, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
+    ft_spec = pl.BlockSpec((n, n + 2), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    neg2_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_lanes // tile,),
+        in_specs=[ft_spec, neg2_spec, pts_spec, pts_spec, pinf_spec,
+                  lane_spec, lane_spec, lane_spec],
+        out_specs=(lane_spec, lane_spec, lane_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((n, n_lanes), jnp.uint32)
+                        for _ in range(3)),
+        input_output_aliases={5: 0, 6: 1, 7: 2},
+        interpret=interpret,
+    )
+    ft_np, neg2_np = fk.fold_table_t(f), fk.neg2_col(f)
+
+    def fn(acc_x, acc_y, acc_z, px, py, inf):
+        return call(jnp.asarray(ft_np), jnp.asarray(neg2_np),
+                    px, py, inf, acc_x, acc_y, acc_z)
+
+    return fn
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 9, 10, 11))
 def accumulate_pass_pallas(curve: CurveSpec, c: int, cap: int, px, py,
                            digits, perm, starts, counts, n_buckets_eff=None,
-                           interpret=False, rank0=0):
+                           interpret=False, rank_batch=1, rank0=0):
+    # rank_batch > 1 measured SLOWER on v5e (693/865/955 ms for R=1/2/4 at
+    # 2^18): the step cost is kernel+gather bound, not dispatch bound, and
+    # the (N, R, total) transpose grows with R.  Kept as a knob.
     """Drop-in Pallas variant of `pippenger.accumulate_pass_all`: same
-    gather/control structure, but the wide mixed add runs in the kernel.
-    Lanes are padded to a tile multiple; padding lanes are infinity."""
+    gather/control structure, but the wide mixed add runs in the kernel,
+    `rank_batch` ranks per kernel invocation.  Lanes are padded to a tile
+    multiple; padding lanes (and beyond-occupancy ranks) are infinity."""
     n = px.shape[0]
     if n_buckets_eff is None:
         n_buckets_eff = 1 << (c - 1)
@@ -275,25 +331,29 @@ def accumulate_pass_pallas(curve: CurveSpec, c: int, cap: int, px, py,
         jnp.repeat(jnp.arange(n_win, dtype=jnp.int32), n_buckets_eff),
         (0, pad_lanes))
 
-    add_fn = make_mixed_add(curve, total, tile, interpret)
+    R = rank_batch
+    add_fn = make_mixed_add_multi(curve, total, tile, R, interpret)
 
     def body(t, acc):
-        r = rank0 + t
-        pos = jnp.clip(starts_b + r, 0, n - 1)                 # (total,)
-        idx = perm[win_of_lane, pos]
-        valid = r < counts_b
-        gx = jnp.take(px, idx, axis=0)                         # (total, N)
-        gy = jnp.take(py, idx, axis=0)
-        sign = digits[win_of_lane, idx] < 0
+        r_base = rank0 + t * R
+        rr = r_base + jnp.arange(R)[:, None]                   # (R, 1)
+        pos = jnp.clip(starts_b[None, :] + rr, 0, n - 1)       # (R, total)
+        idx = perm[win_of_lane[None, :], pos]
+        valid = rr < counts_b[None, :]
+        gx = jnp.take(px, idx.reshape(-1), axis=0)             # (R*total, N)
+        gy = jnp.take(py, idx.reshape(-1), axis=0)
+        sign = digits[win_of_lane[None, :], idx].reshape(-1) < 0
         gy = fp.select(sign, fp.neg(f, gy), gy)
-        inf = (~valid).astype(jnp.uint32)[None, :]
-        return add_fn(acc[0], acc[1], acc[2], gx.T, gy.T, inf)
+        gx = gx.reshape(R, total, nl).transpose(2, 0, 1)       # (N, R, total)
+        gy = gy.reshape(R, total, nl).transpose(2, 0, 1)
+        inf = (~valid).astype(jnp.uint32)[None, :, :]          # (1, R, total)
+        return add_fn(acc[0], acc[1], acc[2], gx, gy, inf)
 
     one = jnp.broadcast_to(
         jnp.asarray(limbs_from_int(1, nl))[:, None], (nl, total))
     init = (jnp.zeros((nl, total), jnp.uint32), one,
             jnp.zeros((nl, total), jnp.uint32))
-    out = jax.lax.fori_loop(0, cap, body, init)
+    out = jax.lax.fori_loop(0, -(-cap // R), body, init)
     from ..curve import sw
     x = out[0].T[:lanes].reshape(n_win, n_buckets_eff, nl)
     y = out[1].T[:lanes].reshape(n_win, n_buckets_eff, nl)
