@@ -332,22 +332,37 @@ def accumulate_pass_pallas(curve: CurveSpec, c: int, cap: int, px, py,
         (0, pad_lanes))
 
     R = rank_batch
-    add_fn = make_mixed_add_multi(curve, total, tile, R, interpret)
+    if R == 1:
+        add1 = make_mixed_add(curve, total, tile, interpret)
 
-    def body(t, acc):
-        r_base = rank0 + t * R
-        rr = r_base + jnp.arange(R)[:, None]                   # (R, 1)
-        pos = jnp.clip(starts_b[None, :] + rr, 0, n - 1)       # (R, total)
-        idx = perm[win_of_lane[None, :], pos]
-        valid = rr < counts_b[None, :]
-        gx = jnp.take(px, idx.reshape(-1), axis=0)             # (R*total, N)
-        gy = jnp.take(py, idx.reshape(-1), axis=0)
-        sign = digits[win_of_lane[None, :], idx].reshape(-1) < 0
-        gy = fp.select(sign, fp.neg(f, gy), gy)
-        gx = gx.reshape(R, total, nl).transpose(2, 0, 1)       # (N, R, total)
-        gy = gy.reshape(R, total, nl).transpose(2, 0, 1)
-        inf = (~valid).astype(jnp.uint32)[None, :, :]          # (1, R, total)
-        return add_fn(acc[0], acc[1], acc[2], gx, gy, inf)
+        def body(t, acc):
+            r = rank0 + t
+            pos = jnp.clip(starts_b + r, 0, n - 1)             # (total,)
+            idx = perm[win_of_lane, pos]
+            valid = r < counts_b
+            gx = jnp.take(px, idx, axis=0)                     # (total, N)
+            gy = jnp.take(py, idx, axis=0)
+            sign = digits[win_of_lane, idx] < 0
+            gy = fp.select(sign, fp.neg(f, gy), gy)
+            inf = (~valid).astype(jnp.uint32)[None, :]
+            return add1(acc[0], acc[1], acc[2], gx.T, gy.T, inf)
+    else:
+        add_fn = make_mixed_add_multi(curve, total, tile, R, interpret)
+
+        def body(t, acc):
+            r_base = rank0 + t * R
+            rr = r_base + jnp.arange(R)[:, None]               # (R, 1)
+            pos = jnp.clip(starts_b[None, :] + rr, 0, n - 1)   # (R, total)
+            idx = perm[win_of_lane[None, :], pos]
+            valid = rr < counts_b[None, :]
+            gx = jnp.take(px, idx.reshape(-1), axis=0)         # (R*total, N)
+            gy = jnp.take(py, idx.reshape(-1), axis=0)
+            sign = digits[win_of_lane[None, :], idx].reshape(-1) < 0
+            gy = fp.select(sign, fp.neg(f, gy), gy)
+            gx = gx.reshape(R, total, nl).transpose(2, 0, 1)   # (N, R, total)
+            gy = gy.reshape(R, total, nl).transpose(2, 0, 1)
+            inf = (~valid).astype(jnp.uint32)[None, :, :]      # (1, R, total)
+            return add_fn(acc[0], acc[1], acc[2], gx, gy, inf)
 
     one = jnp.broadcast_to(
         jnp.asarray(limbs_from_int(1, nl))[:, None], (nl, total))
