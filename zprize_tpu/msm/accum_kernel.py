@@ -300,17 +300,54 @@ def make_mixed_add_multi(curve: CurveSpec, n_lanes: int, tile: int,
     return fn
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 9, 10, 11))
+def _next_prefix(p: int, tile: int) -> int:
+    """Halve the lane prefix, keeping it a tile multiple (floor at tile)."""
+    return max(tile, (p // 2 // tile) * tile)
+
+
+def tier_schedule(desc_counts, tile: int = 512):
+    """Static depth schedule for the occupancy-sorted accumulate: given the
+    lane occupancy counts sorted DESCENDING (padded to the tile multiple,
+    padding counts 0), returns the increasing per-tier depth tuple whose
+    prefix halving matches `accumulate_pass_pallas`.  Host-side."""
+    desc = np.asarray(desc_counts)
+    total = len(desc)
+    depths = []
+    p = total
+    while True:
+        p_next = _next_prefix(p, tile)
+        if p_next >= p:
+            depths.append(int(desc[0]))      # final tier: cover the max
+            break
+        depths.append(int(desc[p_next]))
+        p = p_next
+    out, prev = [], 0
+    for d in depths:
+        out.append(max(d, prev))
+        prev = out[-1]
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 9, 10, 11, 12))
 def accumulate_pass_pallas(curve: CurveSpec, c: int, cap: int, px, py,
                            digits, perm, starts, counts, n_buckets_eff=None,
-                           interpret=False, rank_batch=1, rank0=0):
+                           interpret=False, rank_batch=1, tier_depths=None,
+                           rank0=0):
     # rank_batch > 1 measured SLOWER on v5e (693/865/955 ms for R=1/2/4 at
     # 2^18): the step cost is kernel+gather bound, not dispatch bound, and
     # the (N, R, total) transpose grows with R.  Kept as a knob.
     """Drop-in Pallas variant of `pippenger.accumulate_pass_all`: same
     gather/control structure, but the wide mixed add runs in the kernel,
     `rank_batch` ranks per kernel invocation.  Lanes are padded to a tile
-    multiple; padding lanes (and beyond-occupancy ranks) are infinity."""
+    multiple; padding lanes (and beyond-occupancy ranks) are infinity.
+
+    `tier_depths` (static increasing ints, last >= the group's max
+    occupancy) activates the occupancy-sorted schedule — the TPU analog of
+    the reference's descending-occupancy bucket sort (`SortCounts.cu`,
+    launch rationale `MSM.cu:453-459`): lanes are sorted by bucket count
+    (descending) and each successive depth tier runs on a halved lane
+    prefix, so rectangle work tracks the occupancy curve instead of
+    max * n_buckets."""
     n = px.shape[0]
     if n_buckets_eff is None:
         n_buckets_eff = 1 << (c - 1)
@@ -330,6 +367,53 @@ def accumulate_pass_pallas(curve: CurveSpec, c: int, cap: int, px, py,
     win_of_lane = jnp.pad(
         jnp.repeat(jnp.arange(n_win, dtype=jnp.int32), n_buckets_eff),
         (0, pad_lanes))
+
+    one = jnp.broadcast_to(
+        jnp.asarray(limbs_from_int(1, nl))[:, None], (nl, total))
+
+    if tier_depths is not None:
+        # Occupancy-sorted tiered schedule (see docstring).
+        order = jnp.argsort(-counts_b)                         # desc by count
+        st_s = starts_b[order]
+        ct_s = counts_b[order]
+        wol_s = win_of_lane[order]
+        acc = (jnp.zeros((nl, total), jnp.uint32), one,
+               jnp.zeros((nl, total), jnp.uint32))
+        d_prev = 0
+        p_len = total
+        for d in tier_depths:
+            if d > d_prev:
+                addp = make_mixed_add(curve, p_len, min(tile, p_len),
+                                      interpret)
+                st_p, ct_p, wol_p = st_s[:p_len], ct_s[:p_len], wol_s[:p_len]
+
+                def tbody(t, a, st_p=st_p, ct_p=ct_p, wol_p=wol_p, addp=addp,
+                          d_prev=d_prev):
+                    r = d_prev + t
+                    pos = jnp.clip(st_p + r, 0, n - 1)
+                    idx = perm[wol_p, pos]
+                    valid = r < ct_p
+                    gx = jnp.take(px, idx, axis=0)
+                    gy = jnp.take(py, idx, axis=0)
+                    sign = digits[wol_p, idx] < 0
+                    gy = fp.select(sign, fp.neg(f, gy), gy)
+                    inf = (~valid).astype(jnp.uint32)[None, :]
+                    return addp(a[0], a[1], a[2], gx.T, gy.T, inf)
+
+                sub = (acc[0][:, :p_len], acc[1][:, :p_len],
+                       acc[2][:, :p_len])
+                sub = jax.lax.fori_loop(0, d - d_prev, tbody, sub)
+                acc = tuple(acc[k].at[:, :p_len].set(sub[k])
+                            for k in range(3))
+                d_prev = d
+            p_len = _next_prefix(p_len, tile)
+        inv = jnp.argsort(order)
+        out = tuple(a[:, inv] for a in acc)
+        from ..curve import sw
+        x = out[0].T[:lanes].reshape(n_win, n_buckets_eff, nl)
+        y = out[1].T[:lanes].reshape(n_win, n_buckets_eff, nl)
+        z = out[2].T[:lanes].reshape(n_win, n_buckets_eff, nl)
+        return sw.Point(x, y, z)
 
     R = rank_batch
     if R == 1:
@@ -364,8 +448,6 @@ def accumulate_pass_pallas(curve: CurveSpec, c: int, cap: int, px, py,
             inf = (~valid).astype(jnp.uint32)[None, :, :]      # (1, R, total)
             return add_fn(acc[0], acc[1], acc[2], gx, gy, inf)
 
-    one = jnp.broadcast_to(
-        jnp.asarray(limbs_from_int(1, nl))[:, None], (nl, total))
     init = (jnp.zeros((nl, total), jnp.uint32), one,
             jnp.zeros((nl, total), jnp.uint32))
     out = jax.lax.fori_loop(0, -(-cap // R), body, init)

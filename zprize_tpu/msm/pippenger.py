@@ -249,14 +249,17 @@ def msm(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
 
     use_pallas = _pallas_enabled()
     if use_pallas:
-        from .accum_kernel import accumulate_pass_pallas, merge_buckets_pallas
+        from .accum_kernel import (accumulate_pass_pallas,
+                                   merge_buckets_pallas, tier_schedule)
 
-        def acc_fn(curve, c, cap, px, py, d, p, s, ct, n_buckets_eff, rank0):
+        def acc_fn(curve, c, cap, px, py, d, p, s, ct, n_buckets_eff, rank0,
+                   tiers=None):
             return accumulate_pass_pallas(curve, c, cap, px, py, d, p, s, ct,
                                           n_buckets_eff=n_buckets_eff,
-                                          rank0=rank0)
+                                          tier_depths=tiers, rank0=rank0)
     else:
-        def acc_fn(curve, c, cap, px, py, d, p, s, ct, n_buckets_eff, rank0):
+        def acc_fn(curve, c, cap, px, py, d, p, s, ct, n_buckets_eff, rank0,
+                   tiers=None):
             return accumulate_pass_all(curve, c, cap, px, py, d, p, s, ct,
                                        n_buckets_eff=n_buckets_eff,
                                        rank0=rank0)
@@ -270,10 +273,20 @@ def msm(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
         jw = jnp.asarray(widx)
         d_g, p_g = digits[jw], perm[jw]
         s_g, c_g = starts[jw], counts[jw]
+        tiers = None
+        if use_pallas and len(ws) * nbe >= 4096:
+            # occupancy-sorted schedule (see accum_kernel.tier_schedule)
+            lane_counts = np.asarray(
+                jax.device_get(c_g[:, 1:nbe + 1])).reshape(-1)
+            pad = (-lane_counts.size) % 512
+            desc = np.sort(np.concatenate(
+                [lane_counts, np.zeros(pad, lane_counts.dtype)]))[::-1]
+            tiers = tier_schedule(desc)
         sums = acc_fn(curve, c, gcap, points.x, points.y,
-                      d_g, p_g, s_g, c_g, nbe, 0)
-        # fallback passes for occupancy beyond the cap (adversarial inputs)
-        covered = gcap
+                      d_g, p_g, s_g, c_g, nbe, 0, tiers)
+        # fallback passes for occupancy beyond the cap (adversarial inputs;
+        # the tiered schedule always covers the max occupancy itself)
+        covered = (1 << 62) if tiers is not None else gcap
         while group_max > covered:
             cap2 = max(8, 1 << (group_max - covered - 1).bit_length())
             extra = acc_fn(curve, c, cap2, points.x, points.y,
