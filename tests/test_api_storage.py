@@ -40,9 +40,14 @@ def test_srs_roundtrip(tmp_path):
     srs = kzg.setup_test_srs(CURVE, 8, seed=5)
     path = os.path.join(tmp_path, "srs.npz")
     storage.save_srs(path, srs)
-    srs2 = storage.load_srs(path)
+    # trapdoor-bearing files are refused by default (round-1 advisory)
+    import pytest
+    with pytest.raises(ValueError, match="trapdoor"):
+        storage.load_srs(path)
+    srs2 = storage.load_srs(path, allow_trapdoor=True)
     assert srs2.tau == srs.tau
     assert srs2.curve.name == srs.curve.name
+    assert srs2.h == srs.h and srs2.tau_h == srs.tau_h
     for i in range(8):
         a = int(fp.to_ints(CURVE.field, srs.g1_powers.x[i])[()])
         b = int(fp.to_ints(CURVE.field, srs2.g1_powers.x[i])[()])

@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..field import fp
 from ..field.spec import BASE_BITS
@@ -190,6 +191,27 @@ def mul_scalar(curve: CurveSpec, p: Point, s: jax.Array, nbits=None) -> Point:
 
     return jax.lax.fori_loop(0, nbits, body,
                              identity(curve, p.batch_shape))
+
+
+def mul_scalar_int(curve: CurveSpec, p: Point, k: int) -> Point:
+    """k * P for a fixed non-negative python-int k (k may exceed the group
+    order, e.g. the order itself for subgroup checks).  fori_loop over a
+    constant bit table — small graph, branch-free."""
+    assert k >= 0
+    if k == 0:
+        return identity(curve, p.batch_shape)
+    nbits = k.bit_length()
+    bits = jnp.asarray(np.array(
+        [(k >> (nbits - 1 - i)) & 1 for i in range(nbits)], np.uint32))
+
+    def body(i, acc):
+        acc = Point(*acc)
+        acc = dbl(curve, acc)
+        return tuple(select(bits[i] == 1, add(curve, acc, p), acc))
+
+    # MSB is 1, so the accumulator starts at P and the loop runs bits 1..n-1.
+    out = jax.lax.fori_loop(1, nbits, body, tuple(Point(p.x, p.y, p.z)))
+    return Point(*out)
 
 
 def sum_points_scan(curve: CurveSpec, p: Point, axis: int = 0,

@@ -1,14 +1,17 @@
-"""KZG10 polynomial commitments (commit / open) on top of the MSM engine.
+"""KZG10 polynomial commitments (commit / open / pairing verify) on top of
+the MSM engine.
 
 Semantics follow the reference's KZG10 as used by both jf-plonk and snarkVM
 (`snarkVM algorithms/src/polycommit/kzg10/mod.rs:216-402`): commit is an MSM
-over the SRS G1 powers; the opening witness is p(X)-p(z) divided by (X-z).
+over the SRS G1 powers; the opening witness is p(X)-p(z) divided by (X-z);
+`verify` is the pairing check e(C - y*G + z*W, H) * e(-W, tau*H) == 1
+(`kzg10/mod.rs` `check`, `winderica/plonk/src/proof_system/verifier.rs:229`).
+The pairing product runs on the host (`pairing/host.py`) — a few hundred
+bytes of group elements, the direct analog of the reference's host-side final
+reduction — while commit/open stay on device.
 
-Pairing-based verification requires the Fq12 tower + Miller loop (tracked as
-a later milestone); until then `verify_with_trapdoor` provides an exact
-group-equation check usable with the *test* SRS (which, like the reference's
-`universal_setup` in `winderica/distributed/src/dispatcher.rs:49-81`, samples
-tau in the clear).
+`verify_with_trapdoor` remains for tests: the identical group equation
+evaluated in G1 using a test-SRS tau.
 """
 
 from __future__ import annotations
@@ -22,15 +25,20 @@ from ..curve import sw
 from ..curve.spec import CurveSpec
 from ..field import fp
 from ..msm import pippenger
+from ..pairing.host import g1_add, g1_mul, g1_neg, host_pairing
+from ..pairing.params import pairing_for_curve
 from ..poly import ops as poly_ops
 
 
 @dataclasses.dataclass
 class Srs:
-    """G1 powers of tau (affine batch).  `tau` is present only for test SRS
-    (trapdoor verification); production SRS load drops it."""
+    """G1 powers of tau plus the two G2 elements (H, tau*H) the pairing check
+    needs.  `tau` is present only for test SRS (trapdoor verification);
+    production SRS load drops it."""
     curve: CurveSpec
     g1_powers: sw.Affine              # (n,) affine batch: tau^i * G
+    h: tuple | None = None            # G2 generator, affine Fq2 int pairs
+    tau_h: tuple | None = None        # tau * H
     tau: int | None = None
 
     @property
@@ -41,7 +49,8 @@ class Srs:
 def setup_test_srs(curve: CurveSpec, size: int, seed: int = 0) -> Srs:
     """Deterministic test SRS: tau from a seeded host RNG; tau^i * G computed
     with one vectorized batch scalar-mul (253 wide complete adds — the
-    device-side analog of arkworks' test `universal_setup`)."""
+    device-side analog of arkworks' test `universal_setup`); G2 side on the
+    host (two points)."""
     import random
     rng = random.Random(seed ^ 0x5EED)
     tau = rng.randrange(1, curve.order)
@@ -49,7 +58,10 @@ def setup_test_srs(curve: CurveSpec, size: int, seed: int = 0) -> Srs:
     s = fp.from_ints(curve.scalar, pows)
     g = sw.generator(curve, (size,))
     proj = sw.mul_scalar(curve, g, s)
-    return Srs(curve, sw.to_affine(curve, proj), tau)
+    hp = host_pairing(pairing_for_curve(curve))
+    h = hp.g2_gen
+    tau_h = hp.g2_mul(h, tau)
+    return Srs(curve, sw.to_affine(curve, proj), h, tau_h, tau)
 
 
 def commit(srs: Srs, coeffs: jax.Array, c: int | None = None) -> sw.Point:
@@ -69,12 +81,54 @@ def open_at(srs: Srs, coeffs: jax.Array, z: jax.Array):
     return w, y
 
 
+def point_ints(curve: CurveSpec, p: sw.Point):
+    """Device point -> host affine int pair (None for the identity)."""
+    aff = sw.to_affine(curve, p)
+    if bool(jax.device_get(jnp.all(aff.inf))):
+        return None
+    x = int(fp.to_ints(curve.field, aff.x)[()])
+    y = int(fp.to_ints(curve.field, aff.y)[()])
+    return (x, y)
+
+
+def fr_int(curve: CurveSpec, x: jax.Array) -> int:
+    return int(fp.to_ints(curve.scalar, x)[()])
+
+
+def verify(srs: Srs, commitment: sw.Point, z, y, witness: sw.Point) -> bool:
+    """Real KZG verification via the ate pairing:
+        e(C - y*G + z*W, H) * e(-W, tau*H) == 1.
+    `z`/`y` may be Fr planes or python ints; the group combination and the
+    two Miller loops run on the host (a handful of points)."""
+    assert srs.h is not None and srs.tau_h is not None, "SRS lacks G2 side"
+    curve = srs.curve
+    p = curve.field.p
+    z_i = z if isinstance(z, int) else fr_int(curve, z)
+    y_i = y if isinstance(y, int) else fr_int(curve, y)
+    c_pt = point_ints(curve, commitment)
+    w_pt = point_ints(curve, witness)
+    g = (curve.gen_x, curve.gen_y)
+    # A = C - y*G + z*W
+    a_pt = g1_add(p, c_pt, g1_neg(p, g1_mul(p, g, y_i)))
+    if w_pt is not None:
+        a_pt = g1_add(p, a_pt, g1_mul(p, w_pt, z_i))
+    hp = host_pairing(pairing_for_curve(curve))
+    pairs = []
+    if a_pt is not None:
+        pairs.append((a_pt, hp.g2_gen))
+    if w_pt is not None:
+        pairs.append((g1_neg(p, w_pt), srs.tau_h))
+    if not pairs:
+        return True
+    return hp.multi_pairing_is_one(pairs)
+
+
 def verify_with_trapdoor(srs: Srs, commitment: sw.Point, z: jax.Array,
                          y: jax.Array, witness: sw.Point) -> bool:
     """Exact check of the KZG equation in G1 using the test trapdoor:
         (tau - z) * W == C - y*G.
-    This is the same equation the pairing verifies in the exponent
-    (`kzg10/mod.rs check`), evaluated directly since the test SRS knows tau."""
+    This is the same equation `verify` checks in the exponent, evaluated
+    directly since the test SRS knows tau (kept as the fast test gate)."""
     assert srs.tau is not None, "trapdoor verification requires a test SRS"
     curve = srs.curve
     f = curve.scalar

@@ -1,15 +1,16 @@
-"""PLONK verifier (on-device field arithmetic, KZG opening checks).
+"""PLONK verifier (on-device field arithmetic, real pairing-based KZG check).
 
 Check set mirrors the reference verifier semantics (jf-plonk
-`plonk/src/proof_system/verifier.rs`): recompute Fiat–Shamir challenges from
-the transcript, evaluate the gate + permutation + L1 identity at zeta, and
-verify the batched KZG openings.  Until the pairing tower lands, the KZG
-equation is checked in G1 via the test-SRS trapdoor (`kzg.verify_with_trapdoor`)
-— the identical group equation the pairing would check in the exponent.
+`plonk/src/proof_system/verifier.rs:174-229`): validate the proof's group
+elements, recompute Fiat–Shamir challenges from the transcript (VK-bound),
+evaluate the gate + permutation + L1 identity at zeta, and verify the
+batched KZG openings with the ate pairing (`kzg.verify` — the
+`multi_pairing == one` check of `verifier.rs:229`).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..curve import sw
@@ -18,6 +19,25 @@ from ..pcs import kzg
 from ..poly import ops as poly_ops
 from .prover import OPEN_ORDER, Proof, VerifyingKey
 from .transcript import Transcript
+
+
+def _points_valid(vk: VerifyingKey, proof: Proof) -> bool:
+    """On-curve + prime-subgroup validation of every deserialized proof
+    point (invalid-point attack surface — round-1 advisory finding).
+    Batched: one `is_on_curve` and one `mul_scalar` over all points."""
+    curve = vk.curve
+    pts = [*proof.wire_comms, proof.z_comm, *proof.t_comms,
+           proof.w_zeta, proof.w_zeta_omega]
+    stacked = sw.Point(jnp.stack([q.x for q in pts]),
+                       jnp.stack([q.y for q in pts]),
+                       jnp.stack([q.z for q in pts]))
+    aff = sw.to_affine(curve, stacked)
+    on_curve = sw.is_on_curve(curve, aff)
+    # prime-subgroup membership: r * P == identity, batched over all points
+    in_subgroup = sw.is_identity(
+        curve, sw.mul_scalar_int(curve, stacked, curve.order))
+    ok = jnp.all(on_curve & in_subgroup)
+    return bool(jax.device_get(ok))
 
 
 def verify(vk: VerifyingKey, srs: kzg.Srs, proof: Proof,
@@ -30,8 +50,12 @@ def verify(vk: VerifyingKey, srs: kzg.Srs, proof: Proof,
     dom = Domain(fr, n.bit_length() - 1)
     w = dom.w
 
+    if not _points_valid(vk, proof):
+        return False
+
     # --- replay the transcript -------------------------------------------
     tr = Transcript(curve)
+    tr.absorb_vk(vk)
     for v in public:
         tr.absorb_fr(fp.constant(fr, v))
     for cm in proof.wire_comms:
@@ -113,9 +137,8 @@ def verify(vk: VerifyingKey, srs: kzg.Srs, proof: Proof,
         combined_eval = term_y if combined_eval is None else \
             fp.add(fr, combined_eval, term_y)
         v_pow = fp.mul(fr, v_pow, v_ch)
-    if not kzg.verify_with_trapdoor(srs, combined_comm, zeta, combined_eval,
-                                    proof.w_zeta):
+    if not kzg.verify(srs, combined_comm, zeta, combined_eval, proof.w_zeta):
         return False
     zeta_omega = fp.mul(fr, zeta, fp.constant(fr, w))
-    return kzg.verify_with_trapdoor(srs, proof.z_comm, zeta_omega,
-                                    e["z_omega"], proof.w_zeta_omega)
+    return kzg.verify(srs, proof.z_comm, zeta_omega, e["z_omega"],
+                      proof.w_zeta_omega)
