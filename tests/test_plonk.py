@@ -67,6 +67,23 @@ def test_reject_tampered_eval(setup_all):
     assert not plonk_verifier.verify(vk, srs, tampered, public)
 
 
+def test_blinding_hides_witness(setup_all):
+    """Two proofs of the same witness must differ (hiding randomizers), and
+    both must verify — the ZK property the round-1 build omitted."""
+    import random
+    cc, srs, pk, vk, assignment, public = setup_all
+    p1 = plonk_prover.prove(pk, assignment, public,
+                            blinding_rng=random.Random(1))
+    p2 = plonk_prover.prove(pk, assignment, public,
+                            blinding_rng=random.Random(2))
+    import numpy as np
+    c1 = np.asarray(p1.wire_comms[0].x)
+    c2 = np.asarray(p2.wire_comms[0].x)
+    assert not np.array_equal(c1, c2), "wire commitment not hiding"
+    assert plonk_verifier.verify(vk, srs, p1, public)
+    assert plonk_verifier.verify(vk, srs, p2, public)
+
+
 def test_reject_unsatisfied_witness(setup_all):
     cc, srs, pk, vk, assignment, public = setup_all
     bad_assignment = dict(assignment)

@@ -83,7 +83,9 @@ class CircuitBuilder:
         self.add_gate(1, 0, 0, 0, -k, a, a, a)
 
     def compile(self) -> "CompiledCircuit":
-        n = max(4, 1 << (len(self.gates) - 1).bit_length())
+        # floor of 8: the blinded quotient has degree 3n+5, which the
+        # prover's 4n evaluation coset can only carry when 3n+5 < 4n (n >= 8)
+        n = max(8, 1 << (len(self.gates) - 1).bit_length())
         return CompiledCircuit(self, n)
 
 

@@ -11,14 +11,19 @@ replicated-deterministic; the running product for Z is a log-depth
 worker-i -> i+1 elementwise products, `worker/mod.rs:766-831`); the quotient
 is evaluated on a 4n coset with pure vector ops.
 
-This build omits zero-knowledge blinding (hiding randomizers) — proving
-throughput is the benchmark target, and blinding adds 2-3 coefficients per
-wire poly; tracked for a later round.
+Zero-knowledge: hiding randomizers per the standard PLONK construction
+(2 blinding coefficients per wire poly, 3 for Z, as in jf-plonk
+`plonk/src/proof_system/prover.rs` round 1/2): p(X) += r(X) * Z_H(X), which
+leaves evaluations on H unchanged and raises degrees to n+1 / n+2 (the
+quotient's high chunk to n+5).  The SRS must therefore have >= n+6 G1
+powers.  Pass `blinding_rng` to derandomize in tests; default is the
+system CSPRNG.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import random as _random
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +52,8 @@ class ProvingKey:
     sigma_coeffs: jax.Array  # (3, n, L)
     sigma_evals: jax.Array   # (3, n, L)
     id_evals: jax.Array      # (3, n, L)
-    commitments: dict        # name -> affine point tuple (ints) for the VK
+    commitments: dict        # name -> sw.Point selector/sigma commitments
+    vk: "VerifyingKey | None" = None  # bound into the transcript
 
 
 @dataclasses.dataclass
@@ -77,6 +83,8 @@ OPEN_ORDER = ["a", "b", "c", "z", "t_lo", "t_mid", "t_hi",
 def setup(curve: CurveSpec, circuit: CompiledCircuit, srs: kzg.Srs):
     fr = curve.scalar
     n = circuit.n
+    assert srs.size >= n + 6, "SRS must cover blinded polynomial degrees"
+    assert n >= 8, "blinded quotient (degree 3n+5) needs 4n > 3n+5, i.e. n >= 8"
     log_n = n.bit_length() - 1
     dom = Domain(fr, log_n)
     dom4 = Domain(fr, log_n + 2)
@@ -108,10 +116,10 @@ def setup(curve: CurveSpec, circuit: CompiledCircuit, srs: kzg.Srs):
     # coset generator: any element outside H_{4n}
     g = fr.generator
     assert pow(g, 4 * n, fr.p) != 1
-    pk = ProvingKey(curve, circuit, srs, dom, dom4, g, selectors,
-                    sigma_coeffs, sigma_evals, id_evals, comms)
     vk = VerifyingKey(curve, n, circuit.k1, circuit.k2,
                       list(circuit.public_rows), dict(comms))
+    pk = ProvingKey(curve, circuit, srs, dom, dom4, g, selectors,
+                    sigma_coeffs, sigma_evals, id_evals, comms, vk)
     return pk, vk
 
 
@@ -137,14 +145,29 @@ def _cumprod_exclusive(fr, ratio):
     return jnp.concatenate([one, inc[:-1]], axis=0)
 
 
-def prove(pk: ProvingKey, assignment: dict, public: list[int]) -> Proof:
+def _blind(fr, coeffs, randomizers):
+    """coeffs(X) + (sum_i r_i X^i) * (X^n - 1): hiding blinding that
+    vanishes on H.  `coeffs` is an (n, L) plane; returns (n+k, L)."""
+    k = len(randomizers)
+    n = coeffs.shape[-2]
+    r_plane = fp.from_ints(fr, randomizers)
+    ext = poly_ops.pad_to(fr, coeffs, n + k)
+    head = fp.sub(fr, ext[:k], r_plane)
+    tail = fp.add(fr, ext[n:n + k], r_plane)
+    return jnp.concatenate([head, ext[k:n], tail], axis=0)
+
+
+def prove(pk: ProvingKey, assignment: dict, public: list[int],
+          blinding_rng=None) -> Proof:
     curve, fr = pk.curve, pk.curve.scalar
     n = pk.circuit.n
     cc = pk.circuit
     dom, dom4 = pk.dom, pk.dom4
     p = fr.p
+    brng = blinding_rng if blinding_rng is not None else _random.SystemRandom()
 
     transcript = Transcript(curve)
+    transcript.absorb_vk(pk.vk)
     for v in public:
         transcript.absorb_fr(fp.constant(fr, v))
 
@@ -156,7 +179,10 @@ def prove(pk: ProvingKey, assignment: dict, public: list[int]) -> Proof:
         pi_ints[row] = (-public[idx]) % p
     pi_evals = fp.from_ints(fr, pi_ints)
 
-    wire_coeffs = intt(dom, wires)                      # (3, n, L)
+    wire_coeffs0 = intt(dom, wires)                     # (3, n, L)
+    wire_coeffs = [
+        _blind(fr, wire_coeffs0[i], [brng.randrange(p), brng.randrange(p)])
+        for i in range(3)]                              # each (n+2, L)
     wire_comms = [kzg.commit(pk.srs, wire_coeffs[i]) for i in range(3)]
     for cm in wire_comms:
         transcript.absorb_point(cm)
@@ -176,7 +202,8 @@ def prove(pk: ProvingKey, assignment: dict, public: list[int]) -> Proof:
                  lin(wires[2], pk.sigma_evals[2]))
     ratio = fp.mul(fr, num, fp.batch_inv(fr, den))
     z_evals = _cumprod_exclusive(fr, ratio)
-    z_coeffs = intt(dom, z_evals)
+    z_coeffs = _blind(fr, intt(dom, z_evals),
+                      [brng.randrange(p) for _ in range(3)])  # (n+3, L)
     z_comm = kzg.commit(pk.srs, z_coeffs)
     transcript.absorb_point(z_comm)
     alpha = transcript.challenge()
@@ -238,8 +265,9 @@ def prove(pk: ProvingKey, assignment: dict, public: list[int]) -> Proof:
 
     t_coeffs = _coset_scale(fr, intt(dom4, t_evals), pk.coset_g, dom4.n,
                             inverse=True)
-    # degree < 3n (no blinding): split into three n-chunks
-    t_lo, t_mid, t_hi = (t_coeffs[:n], t_coeffs[n:2 * n], t_coeffs[2 * n:3 * n])
+    # degree <= 3n+5 with blinding: two n-chunks + an (n+6)-chunk
+    t_lo, t_mid, t_hi = (t_coeffs[:n], t_coeffs[n:2 * n],
+                         t_coeffs[2 * n:3 * n + 6])
     t_comms = [kzg.commit(pk.srs, t) for t in (t_lo, t_mid, t_hi)]
     for cm in t_comms:
         transcript.absorb_point(cm)
@@ -264,8 +292,9 @@ def prove(pk: ProvingKey, assignment: dict, public: list[int]) -> Proof:
     # --- round 5: batched openings ---------------------------------------
     combined = None
     v_pow = fp.ones(fr)
+    max_len = max(polys[name].shape[-2] for name in OPEN_ORDER)
     for name in OPEN_ORDER:
-        term = fp.mul(fr, poly_ops.pad_to(fr, polys[name], n), v_pow)
+        term = fp.mul(fr, poly_ops.pad_to(fr, polys[name], max_len), v_pow)
         combined = term if combined is None else fp.add(fr, combined, term)
         v_pow = fp.mul(fr, v_pow, v_ch)
     q_zeta, _ = poly_ops.divide_linear(fr, combined, zeta)

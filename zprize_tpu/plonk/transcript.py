@@ -47,6 +47,18 @@ class Transcript:
         aff = sw.to_affine(self.curve, p)
         self.sponge.absorb(self._embed_fq(aff.x) + self._embed_fq(aff.y))
 
+    def absorb_vk(self, vk):
+        """Bind the verifying key into the transcript (domain size, coset
+        shifts, public-input rows, selector/sigma commitments) — mirrors the
+        reference verifiers absorbing the VK (jf-plonk/snarkVM), so
+        challenges differ across circuits and proofs cannot be transplanted
+        between VKs (round-1 advisory finding)."""
+        fr = self.fr
+        ints = [vk.n, vk.k1, vk.k2, len(vk.public_rows), *vk.public_rows]
+        self.sponge.absorb([fp.constant(fr, v % fr.p) for v in ints])
+        for name in sorted(vk.commitments):
+            self.absorb_point(vk.commitments[name])
+
     def absorb_fr(self, x):
         self.sponge.absorb([x])
 
