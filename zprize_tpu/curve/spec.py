@@ -55,6 +55,26 @@ BLS12_377_G1 = CurveSpec(
     gen_y=0x01914A69C5102EFF1F674F5D30AFEEC4BD7FB348CA3E52D96D182AD44FB82305C2FE3D3634A9591AFD82DE55559C8EA6,
 )
 
+# Compile-lean dryrun/test curve (NOT cryptographically strong): j=0 curve
+# y^2 = x^3 + 8 over a 62-bit prime, found via Cornacchia (4p = L^2 + 27M^2)
+# with a 56-bit prime-order subgroup (cofactor 76).  Same a=0 RCB code paths
+# as the BLS curves at ~1/27th the limb-product graph size — used by the
+# multi-chip dryrun so the XLA:CPU cold compile of the sharded MSM fits the
+# driver budget (the full-width curves are covered by tests/test_parallel.py).
+# The test-suite revalidates membership and subgroup order from scratch.
+TOY_FQ = FieldSpec(name="toy_fq", p=0x3FFFFFFFFFFFFF8B, generator=2)
+TOY_FR = FieldSpec(name="toy_fr", p=0xD79435E4798A5B, generator=3)
+
+TOY_G1 = CurveSpec(
+    name="toy_g1",
+    field=TOY_FQ,
+    scalar=TOY_FR,
+    b=8,
+    cofactor=76,
+    gen_x=0x3CE7E31C72F135A9,
+    gen_y=0x15DBCC6E20B0E978,
+)
+
 BLS12_381_G1 = CurveSpec(
     name="bls12_381_g1",
     field=BLS12_381_FQ,
@@ -65,4 +85,4 @@ BLS12_381_G1 = CurveSpec(
     gen_y=0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1,
 )
 
-ALL_CURVES = [BLS12_377_G1, BLS12_381_G1]
+ALL_CURVES = [BLS12_377_G1, BLS12_381_G1, TOY_G1]
