@@ -131,17 +131,31 @@ def main():
     scalars_int = [rng.randrange(curve.order) for _ in range(n)]
     s = fp.from_ints(curve.scalar, scalars_int)
 
-    c = int(c_env) if c_env else pippenger.default_window_bits(n)
-    log(f"msm: n=2^{npow} c={c}")
+    c = int(c_env) if c_env else None
 
     def sync(x):
         # On the tunneled axon platform block_until_ready does not await
         # remote execution; force a (tiny) transfer to synchronize.
         return jax.device_get(x.z[..., 0])
 
+    # untimed init: fixed-point preprocessing, exactly the reference split
+    # (`multi_scalar_mult_init` is outside the timed region in
+    # `yrrid/benches/msm.rs:13-46`)
+    t0 = time.time()
+    prepared = pippenger.prepare_points(curve, points, c)
+    if prepared is not None:
+        jax.device_get(prepared.packed.ravel()[0])
+        c = prepared.c
+        log(f"prepared: c={c} G={prepared.g} m={prepared.m} "
+            f"table={prepared.packed.nbytes / 1e9:.2f} GB")
+    elif c is None:
+        c = pippenger.default_window_bits(n)
+    log(f"point preprocessing (untimed init): {time.time()-t0:.1f}s")
+    log(f"msm: n=2^{npow} c={c}")
+
     # warmup/compile
     t0 = time.time()
-    res = pippenger.msm(curve, points, s, c=c)
+    res = pippenger.msm(curve, points, s, c=c, prepared=prepared)
     sync(res)
     log(f"first run (incl. compile): {time.time()-t0:.1f}s")
 
@@ -170,7 +184,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.time()
     for _ in range(iters):
-        res = pippenger.msm(curve, points, s, c=c)
+        res = pippenger.msm(curve, points, s, c=c, prepared=prepared)
         sync(res)
     dt = (time.time() - t0) / iters
     pts_per_s = n / dt

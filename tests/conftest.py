@@ -21,6 +21,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Window-precompute collapse off by default in the suite (each distinct MSM
+# size would compile its own doubling-chain init graph — minutes on CPU);
+# dedicated tests opt in explicitly via prepare_points(..., collapse=True).
+os.environ.setdefault("ZPRIZE_PRECOMPUTE", "0")
+
 # Persistent compilation cache: repeated suite runs skip recompiles.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zprize_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

@@ -1,0 +1,81 @@
+"""Window-precompute collapse (PrecomputePoints.cu analog) differential
+tests: the collapsed TE MSM must match the python-int oracle for several
+(c, G, m) splits, including identity lanes and the no-collapse edge."""
+
+import random
+import sys
+
+import jax.numpy as jnp
+import pytest
+
+import ec_ref
+from zprize_tpu.curve import sw
+from zprize_tpu.curve.spec import BLS12_377_G1
+from zprize_tpu.field import fp
+from zprize_tpu.msm import pippenger, te_path
+
+CURVE = BLS12_377_G1
+N = 48
+
+
+@pytest.fixture(scope="module")
+def fixture_points():
+    pts = ec_ref.random_subgroup_points(CURVE, N, seed=9)
+    pts[5] = None  # identity lane
+    aff = sw.Affine(
+        fp.from_ints(CURVE.field, [p[0] if p else 0 for p in pts]),
+        fp.from_ints(CURVE.field, [p[1] if p else 1 for p in pts]),
+        jnp.asarray([p is None for p in pts]))
+    rng = random.Random(21)
+    scal = [rng.randrange(CURVE.order) for _ in range(N)]
+    exp = None
+    for pt, k in zip(pts, scal):
+        if pt is None:
+            continue
+        exp = ec_ref.ec_add(exp, ec_ref.ec_mul(pt, k, CURVE.field.p),
+                            CURVE.field.p)
+    return aff, fp.from_ints(CURVE.scalar, scal), exp
+
+
+def _run(aff, s, c, g, m):
+    if m > 1:
+        packed, bad = te_path.prepare_points_collapsed(
+            CURVE, aff.x, aff.y, aff.inf, c * g, m)
+    else:
+        packed, bad = te_path.prepare_points(CURVE, aff.x, aff.y, aff.inf)
+    assert not bool(bad)
+    prep = pippenger.PreparedTe(packed, c, g, m, N)
+    res = pippenger.msm(CURVE, aff, s, prepared=prep)
+    a = sw.to_affine(CURVE, res)
+    return (int(fp.to_ints(CURVE.field, a.x)[()]),
+            int(fp.to_ints(CURVE.field, a.y)[()]))
+
+
+@pytest.mark.parametrize("c,g_sel", [(8, "full"), (8, "two"), (10, "three")])
+def test_collapse_matches_oracle(fixture_points, c, g_sel):
+    aff, s, exp = fixture_points
+    w = pippenger.num_windows(CURVE, c)
+    if g_sel == "full":
+        g, m = 1, w                      # everything in one bucket set
+    elif g_sel == "two":
+        g = 2
+        m = -(-w // g)
+    else:
+        g = 3
+        m = -(-w // g)
+    got = _run(aff, s, c, g, m)
+    assert got == exp
+
+
+def test_plan_collapse_respects_budget():
+    h = (CURVE.field.n_limbs + 1) // 2
+    row = 3 * h * 4
+    n = 1 << 16
+    c, g, m = pippenger.plan_collapse(CURVE, n, None, budget_bytes=n * row * 3)
+    assert m <= 3
+    assert g * m >= pippenger.num_windows(CURVE, c)
+    # huge budget: collapse to few bucket sets
+    c2, g2, m2 = pippenger.plan_collapse(CURVE, n, None,
+                                         budget_bytes=1 << 40)
+    assert g2 * m2 >= pippenger.num_windows(CURVE, c2)
+    assert g2 <= 4

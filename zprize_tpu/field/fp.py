@@ -365,7 +365,10 @@ def batch_inv(spec: FieldSpec, a: jax.Array, axis: int = 0) -> jax.Array:
     TPU never runs a length-B sequential scan."""
     a = jnp.moveaxis(a, axis, 0)
     m = a.shape[0]
-    assert m & (m - 1) == 0, "batch_inv requires a power-of-two batch"
+    m_pad = 1 << max(0, (m - 1)).bit_length()
+    if m_pad != m:  # pad to a power of two with ones (inert in the tree)
+        pad = ones(spec, (m_pad - m,) + a.shape[1:-1])
+        a = jnp.concatenate([a, pad], axis=0)
     zero_mask = is_zero(spec, a)
     a_safe = select(zero_mask, ones(spec, a.shape[:-1]), a)
 
@@ -381,7 +384,7 @@ def batch_inv(spec: FieldSpec, a: jax.Array, axis: int = 0) -> jax.Array:
         inv_right = mul(spec, inv_cur, left)
         inv_cur = jnp.stack([inv_left, inv_right], axis=1).reshape(lvl.shape)
     out = select(zero_mask, zeros(spec, a.shape[:-1]), inv_cur)
-    return jnp.moveaxis(out, 0, axis)
+    return jnp.moveaxis(out[:m], 0, axis)
 
 
 # ---------------------------------------------------------------------------

@@ -300,6 +300,147 @@ def make_mixed_add_multi(curve: CurveSpec, n_lanes: int, tile: int,
     return fn
 
 
+@functools.lru_cache(maxsize=None)
+def make_mixed_add_rect(curve: CurveSpec, n_lanes: int, tile: int,
+                        depth: int, interpret: bool = False):
+    """Slab-consuming variant: points arrive as a PRE-GATHERED rectangle
+    (depth, N, n_lanes) streamed through VMEM by the Pallas pipeline, so the
+    hot loop performs zero HBM gathers — the TPU analog of the reference's
+    sorted-bucket contiguous processing (`ComputeBucketSums.cu` after the
+    partition/sort phases).  fn(acc..., rect_x, rect_y, inf) with inf
+    (depth, 1, n_lanes); the kernel fori-loops the depth axis in VMEM."""
+    f = curve.field
+    n = f.n_limbs
+    assert n_lanes % tile == 0
+
+    def kernel(ft_ref, neg2_ref, rx_ref, ry_ref, inf_ref,
+               x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref):
+        ft, neg2 = ft_ref[...], neg2_ref[...]
+
+        def body(r, xyz):
+            x, y, z = xyz
+            return _mixed_add_body(curve, x, y, z, rx_ref[r], ry_ref[r],
+                                   inf_ref[r], ft, neg2)
+
+        x, y, z = jax.lax.fori_loop(
+            0, depth, body, (x_ref[...], y_ref[...], z_ref[...]))
+        ox_ref[...] = x
+        oy_ref[...] = y
+        oz_ref[...] = z
+
+    lane_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    rect_spec = pl.BlockSpec((depth, n, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
+    rinf_spec = pl.BlockSpec((depth, 1, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
+    ft_spec = pl.BlockSpec((n, n + 2), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    neg2_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_lanes // tile,),
+        in_specs=[ft_spec, neg2_spec, rect_spec, rect_spec, rinf_spec,
+                  lane_spec, lane_spec, lane_spec],
+        out_specs=(lane_spec, lane_spec, lane_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((n, n_lanes), jnp.uint32)
+                        for _ in range(3)),
+        input_output_aliases={5: 0, 6: 1, 7: 2},
+        interpret=interpret,
+    )
+    ft_np, neg2_np = fk.fold_table_t(f), fk.neg2_col(f)
+
+    def fn(acc_x, acc_y, acc_z, rx, ry, inf):
+        return call(jnp.asarray(ft_np), jnp.asarray(neg2_np),
+                    rx, ry, inf, acc_x, acc_y, acc_z)
+
+    return fn
+
+
+# rank-slab size for the materialized rectangle (bounds the HBM transient:
+# S * N * lanes * 4B * 2; 32 ranks at 2^20-scale lanes ~ 2.3 GB)
+_RECT_SLAB = 32
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 9, 10))
+def accumulate_rect_pallas(curve: CurveSpec, c: int, tier_depths, px, py,
+                           digits, perm, starts, counts, n_buckets_eff,
+                           interpret=False):
+    """Occupancy-tiered accumulate with rectangle MATERIALIZATION: for each
+    tier, the (slab, N, lanes) point rectangle is gathered once in XLA and
+    the Pallas kernel streams it as contiguous slabs (double-buffered by the
+    pipeline) — replacing the per-rank gather + transpose glue of
+    `accumulate_pass_pallas` whose dispatch/latency dominated round-1
+    profiles (416 ms of an 870 ms 2^18 MSM)."""
+    n = px.shape[0]
+    n_win = digits.shape[0]
+    lanes = n_win * n_buckets_eff
+    tile = 512 if lanes >= 512 else 128
+    pad_lanes = (-lanes) % tile
+    total = lanes + pad_lanes
+    f = curve.field
+    nl = f.n_limbs
+
+    starts_b = starts[:, 1:n_buckets_eff + 1].reshape(-1)
+    counts_b = counts[:, 1:n_buckets_eff + 1].reshape(-1)
+    if pad_lanes:
+        starts_b = jnp.pad(starts_b, (0, pad_lanes))
+        counts_b = jnp.pad(counts_b, (0, pad_lanes))
+    win_of_lane = jnp.pad(
+        jnp.repeat(jnp.arange(n_win, dtype=jnp.int32), n_buckets_eff),
+        (0, pad_lanes))
+
+    one = jnp.broadcast_to(
+        jnp.asarray(limbs_from_int(1, nl))[:, None], (nl, total))
+
+    order = jnp.argsort(-counts_b)
+    st_s = starts_b[order]
+    ct_s = counts_b[order]
+    wol_s = win_of_lane[order]
+    acc = (jnp.zeros((nl, total), jnp.uint32), one,
+           jnp.zeros((nl, total), jnp.uint32))
+    d_prev = 0
+    p_len = total
+    for d in tier_depths:
+        if d > d_prev:
+            span = d - d_prev
+            S = min(_RECT_SLAB, span)
+            n_slabs = -(-span // S)
+            addp = make_mixed_add_rect(curve, p_len, min(tile, p_len), S,
+                                       interpret)
+            st_p, ct_p, wol_p = st_s[:p_len], ct_s[:p_len], wol_s[:p_len]
+
+            def slab_body(si, a, st_p=st_p, ct_p=ct_p, wol_p=wol_p,
+                          addp=addp, d_prev=d_prev, S=S, p_len=p_len):
+                r0 = d_prev + si * S
+                rr = r0 + jnp.arange(S)[:, None]               # (S, 1)
+                pos = jnp.clip(st_p[None, :] + rr, 0, n - 1)   # (S, p)
+                idx = perm[wol_p[None, :], pos]
+                valid = rr < ct_p[None, :]
+                gx = jnp.take(px, idx.reshape(-1), axis=0)     # (S*p, N)
+                gy = jnp.take(py, idx.reshape(-1), axis=0)
+                sign = digits[wol_p[None, :], idx].reshape(-1) < 0
+                gy = fp.select(sign, fp.neg(f, gy), gy)
+                rx = gx.reshape(S, p_len, nl).transpose(0, 2, 1)
+                ry = gy.reshape(S, p_len, nl).transpose(0, 2, 1)
+                inf = (~valid).astype(jnp.uint32)[:, None, :]  # (S, 1, p)
+                return addp(a[0], a[1], a[2], rx, ry, inf)
+
+            sub = (acc[0][:, :p_len], acc[1][:, :p_len], acc[2][:, :p_len])
+            sub = jax.lax.fori_loop(0, n_slabs, slab_body, sub)
+            acc = tuple(acc[k].at[:, :p_len].set(sub[k]) for k in range(3))
+            d_prev = d_prev + n_slabs * S
+        p_len = _next_prefix(p_len, tile)
+    inv = jnp.argsort(order)
+    out = tuple(a[:, inv] for a in acc)
+    from ..curve import sw
+    x = out[0].T[:lanes].reshape(n_win, n_buckets_eff, nl)
+    y = out[1].T[:lanes].reshape(n_win, n_buckets_eff, nl)
+    z = out[2].T[:lanes].reshape(n_win, n_buckets_eff, nl)
+    return sw.Point(x, y, z)
+
+
 def _next_prefix(p: int, tile: int) -> int:
     """Halve the lane prefix, keeping it a tile multiple (floor at tile)."""
     return max(tile, (p // 2 // tile) * tile)
@@ -456,3 +597,317 @@ def accumulate_pass_pallas(curve: CurveSpec, c: int, cap: int, px, py,
     y = out[1].T[:lanes].reshape(n_win, n_buckets_eff, nl)
     z = out[2].T[:lanes].reshape(n_win, n_buckets_eff, nl)
     return sw.Point(x, y, z)
+
+
+# ---------------------------------------------------------------------------
+# Twisted-Edwards (a=-1, extended) kernels — the 7M strongly-unified mixed
+# add of the FPGA reference's pipelined adder
+# (`prize1b-msm-fpga/hardcaml/libs/twisted_edwards/mixed_add.ml`), in wide
+# vector form.  XLA reference forms live in `msm/te_path.py` /
+# `curve/te.py`; keep the formula sequences in lockstep.
+# ---------------------------------------------------------------------------
+
+
+def _te_madd_body(curve: CurveSpec, x, y, z, t, yp, ym, kt_c, ft, neg2):
+    """madd-2008-hwcd-3 (a=-1): acc (x,y,z,t) + precomp (yp, ym, kt).
+    `kt_c` is the already-sign/validity-adjusted C = T1*kT2 term; yp/ym are
+    already sign-swapped / identity-selected.  7 kmul total (C's mul happens
+    in the caller so sign handling can ride on the product)."""
+    f = curve.field
+    a = fk.kmul(f, fk.ksub(f, y, x, ft, neg2), ym, ft)
+    b = fk.kmul(f, fk.kadd(f, y, x, ft), yp, ft)
+    d = fk.kadd(f, z, z, ft)
+    e = fk.ksub(f, b, a, ft, neg2)
+    ff_ = fk.ksub(f, d, kt_c, ft, neg2)
+    g = fk.kadd(f, d, kt_c, ft)
+    h = fk.kadd(f, b, a, ft)
+    return (fk.kmul(f, e, ff_, ft), fk.kmul(f, g, h, ft),
+            fk.kmul(f, ff_, g, ft), fk.kmul(f, e, h, ft))
+
+
+@functools.lru_cache(maxsize=None)
+def make_te_mixed_add(curve: CurveSpec, n_lanes: int, tile: int,
+                      interpret: bool = False):
+    """fn(x, y, z, t, rows, mask) -> (x, y, z, t).
+
+    rows: (3h_pad, n_lanes) u32 — the gathered u16-PACKED precomputed
+    planes (h = ceil(L/2) words each of Y+X, Y-X, 2d·XY; see
+    `te_path.pack_u16`).  mask: (1, n_lanes) u32, bit0 = valid,
+    bit1 = digit sign.  Unpack + sign/identity selection happen in-kernel
+    so the HBM gather stays one ~160B contiguous row per lane."""
+    f = curve.field
+    n = f.n_limbs
+    h = (n + 1) // 2
+    rows_n = 3 * h + (-3 * h) % 8      # sublane-pad the packed rows to 8
+    assert n_lanes % tile == 0
+
+    def kernel(ft_ref, neg2_ref, rows_ref, mask_ref,
+               x_ref, y_ref, z_ref, t_ref,
+               ox_ref, oy_ref, oz_ref, ot_ref):
+        ft, neg2 = ft_ref[...], neg2_ref[...]
+        rows = rows_ref[...]
+        m = mask_ref[...]                       # (1, T)
+        valid = (m & 1) != 0
+        sign = (m & 2) != 0
+
+        def unpack(sl):                          # (h, T) -> (n, T)
+            return jnp.concatenate([sl & 0xFFFF, sl >> 16], axis=0)[:n]
+
+        yp = unpack(rows[0:h])
+        ym = unpack(rows[h:2 * h])
+        kt = unpack(rows[2 * h:3 * h])
+        # sign: -(X,Y) swaps (Y+X, Y-X) and negates the kT plane; fold the
+        # negation into the C product below (cheaper than negating kt).
+        yp, ym = (jnp.where(sign, ym, yp), jnp.where(sign, yp, ym))
+        # identity operand (1, 1, 0) for invalid lanes
+        one = (jax.lax.broadcasted_iota(jnp.uint32, (n, yp.shape[1]), 0)
+               == 0).astype(jnp.uint32)
+        yp = jnp.where(valid, yp, one)
+        ym = jnp.where(valid, ym, one)
+        c = fk.kmul(f, t_ref[...], kt, ft)
+        c = jnp.where(sign, fk.kneg(f, c, ft, neg2), c)
+        c = jnp.where(valid, c, jnp.zeros_like(c))
+        x, y, z, t = _te_madd_body(curve, x_ref[...], y_ref[...], z_ref[...],
+                                   t_ref[...], yp, ym, c, ft, neg2)
+        ox_ref[...] = x
+        oy_ref[...] = y
+        oz_ref[...] = z
+        ot_ref[...] = t
+
+    lane_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    rows_spec = pl.BlockSpec((rows_n, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    ft_spec = pl.BlockSpec((n, n + 2), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    neg2_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_lanes // tile,),
+        in_specs=[ft_spec, neg2_spec, rows_spec, mask_spec,
+                  lane_spec, lane_spec, lane_spec, lane_spec],
+        out_specs=(lane_spec, lane_spec, lane_spec, lane_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((n, n_lanes), jnp.uint32)
+                        for _ in range(4)),
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        interpret=interpret,
+    )
+    ft_np, neg2_np = fk.fold_table_t(f), fk.neg2_col(f)
+
+    def fn(x, y, z, t, rows, mask):
+        return call(jnp.asarray(ft_np), jnp.asarray(neg2_np),
+                    rows, mask, x, y, z, t)
+
+    return fn
+
+
+def _te_full_add_body(curve: CurveSpec, x1, y1, z1, t1, x2, y2, z2, t2,
+                      skip_mask, ft, neg2, kcol):
+    """add-2008-hwcd-3 (a=-1) full add: 9 kmul (one against the constant
+    2d column `kcol` (N, 1)); skip lanes pass operand 1 through."""
+    f = curve.field
+    a = fk.kmul(f, fk.ksub(f, y1, x1, ft, neg2),
+                fk.ksub(f, y2, x2, ft, neg2), ft)
+    b = fk.kmul(f, fk.kadd(f, y1, x1, ft),
+                fk.kadd(f, y2, x2, ft), ft)
+    c = fk.kmul(f, fk.kmul(f, t1, t2, ft), kcol, ft)
+    zz = fk.kmul(f, z1, z2, ft)
+    d = fk.kadd(f, zz, zz, ft)
+    e = fk.ksub(f, b, a, ft, neg2)
+    ff_ = fk.ksub(f, d, c, ft, neg2)
+    g = fk.kadd(f, d, c, ft)
+    h = fk.kadd(f, b, a, ft)
+    x3 = fk.kmul(f, e, ff_, ft)
+    y3 = fk.kmul(f, g, h, ft)
+    z3 = fk.kmul(f, ff_, g, ft)
+    t3 = fk.kmul(f, e, h, ft)
+    sel = lambda new, old: jnp.where(skip_mask != 0, old, new)
+    return sel(x3, x1), sel(y3, y1), sel(z3, z1), sel(t3, t1)
+
+
+@functools.lru_cache(maxsize=None)
+def make_te_full_add(curve: CurveSpec, n_lanes: int, tile: int,
+                     interpret: bool = False):
+    """fn(x1,y1,z1,t1, x2,y2,z2,t2, skip) -> (x,y,z,t); limb-major planes."""
+    from ..curve import te as te_mod
+    f = curve.field
+    n = f.n_limbs
+    assert n_lanes % tile == 0
+    k_int = te_mod.te_params(curve).k
+
+    def kernel(ft_ref, neg2_ref, kcol_ref, x2_ref, y2_ref, z2_ref, t2_ref,
+               skip_ref, x_ref, y_ref, z_ref, t_ref,
+               ox_ref, oy_ref, oz_ref, ot_ref):
+        x, y, z, t = _te_full_add_body(
+            curve, x_ref[...], y_ref[...], z_ref[...], t_ref[...],
+            x2_ref[...], y2_ref[...], z2_ref[...], t2_ref[...],
+            skip_ref[...], ft_ref[...], neg2_ref[...], kcol_ref[...])
+        ox_ref[...] = x
+        oy_ref[...] = y
+        oz_ref[...] = z
+        ot_ref[...] = t
+
+    lane_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    ft_spec = pl.BlockSpec((n, n + 2), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_lanes // tile,),
+        in_specs=[ft_spec, neg2_spec := col_spec, col_spec,
+                  lane_spec, lane_spec, lane_spec, lane_spec, mask_spec,
+                  lane_spec, lane_spec, lane_spec, lane_spec],
+        out_specs=(lane_spec, lane_spec, lane_spec, lane_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((n, n_lanes), jnp.uint32)
+                        for _ in range(4)),
+        input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3},
+        interpret=interpret,
+    )
+    ft_np, neg2_np = fk.fold_table_t(f), fk.neg2_col(f)
+    kcol_np = np.asarray(limbs_from_int(k_int, n), np.uint32)[:, None]
+
+    def fn(x1, y1, z1, t1, x2, y2, z2, t2, skip):
+        return call(jnp.asarray(ft_np), jnp.asarray(neg2_np),
+                    jnp.asarray(kcol_np), x2, y2, z2, t2, skip,
+                    x1, y1, z1, t1)
+
+    return fn
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10))
+def accumulate_te_pallas(curve: CurveSpec, c: int, cap: int, packed,
+                         digits, perm, starts, counts, n_buckets_eff=None,
+                         interpret=False, tier_depths=None):
+    """TE-form tiered accumulate (Pallas): mirrors the tiered branch of
+    `accumulate_pass_pallas` with (1) the single-row packed gather and
+    (2) the 7M unified TE kernel.  Returns a TePoint of (n_win,
+    n_buckets_eff) lanes."""
+    from ..curve import te as te_mod
+    n = packed.shape[0]
+    if n_buckets_eff is None:
+        n_buckets_eff = 1 << (c - 1)
+    n_win = digits.shape[0]
+    lanes = n_win * n_buckets_eff
+    tile = 512 if lanes >= 512 else 128
+    pad_lanes = (-lanes) % tile
+    total = lanes + pad_lanes
+    f = curve.field
+    nl = f.n_limbs
+    h = (nl + 1) // 2
+    rows_n = 3 * h + (-3 * h) % 8
+    if packed.shape[1] < rows_n:
+        packed = jnp.pad(packed, ((0, 0), (0, rows_n - packed.shape[1])))
+
+    starts_b = starts[:, 1:n_buckets_eff + 1].reshape(-1)
+    counts_b = counts[:, 1:n_buckets_eff + 1].reshape(-1)
+    if pad_lanes:
+        starts_b = jnp.pad(starts_b, (0, pad_lanes))
+        counts_b = jnp.pad(counts_b, (0, pad_lanes))
+    win_of_lane = jnp.pad(
+        jnp.repeat(jnp.arange(n_win, dtype=jnp.int32), n_buckets_eff),
+        (0, pad_lanes))
+
+    one = jnp.broadcast_to(
+        jnp.asarray(limbs_from_int(1, nl))[:, None], (nl, total))
+    if tier_depths is None:
+        tier_depths = (cap,)
+
+    order = jnp.argsort(-counts_b)
+    st_s = starts_b[order]
+    ct_s = counts_b[order]
+    wol_s = win_of_lane[order]
+    acc = (jnp.zeros((nl, total), jnp.uint32), one, one,
+           jnp.zeros((nl, total), jnp.uint32))
+    d_prev = 0
+    p_len = total
+    for d in tier_depths:
+        if d > d_prev:
+            addp = make_te_mixed_add(curve, p_len, min(tile, p_len),
+                                     interpret)
+            st_p, ct_p, wol_p = st_s[:p_len], ct_s[:p_len], wol_s[:p_len]
+
+            def tbody(tv, a, st_p=st_p, ct_p=ct_p, wol_p=wol_p, addp=addp,
+                      d_prev=d_prev):
+                r = d_prev + tv
+                pos = jnp.clip(st_p + r, 0, n - 1)
+                idx = perm[wol_p, pos]
+                valid = (r < ct_p).astype(jnp.uint32)
+                sign = (digits[wol_p, idx] < 0).astype(jnp.uint32)
+                rows = jnp.take(packed, idx, axis=0)       # (p, rows_n)
+                mask = (valid | (sign << 1))[None, :]
+                return addp(a[0], a[1], a[2], a[3], rows.T, mask)
+
+            sub = tuple(a[:, :p_len] for a in acc)
+            sub = jax.lax.fori_loop(0, d - d_prev, tbody, sub)
+            acc = tuple(acc[k].at[:, :p_len].set(sub[k]) for k in range(4))
+            d_prev = d
+        p_len = _next_prefix(p_len, tile)
+    inv = jnp.argsort(order)
+    out = tuple(a[:, inv] for a in acc)
+    return te_mod.TePoint(
+        *(o.T[:lanes].reshape(n_win, n_buckets_eff, nl) for o in out))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def merge_buckets_te_pallas(curve: CurveSpec, c: int, interpret: bool,
+                            bucket_sums):
+    """TE variant of `merge_buckets_pallas` (bit-decomposed merge with the
+    unified full-add kernel; final 2^j fold on the XLA side)."""
+    from ..curve import te as te_mod
+    n_win, n_buckets_eff = bucket_sums.x.shape[:2]
+    n_bits = max(1, n_buckets_eff.bit_length())
+    f = curve.field
+    nl = f.n_limbs
+
+    b_ids = np.arange(1, n_buckets_eff + 1, dtype=np.uint32)
+    bitmask = np.stack([((b_ids >> j) & 1) == 0 for j in range(n_bits)])
+    skip_np = np.broadcast_to(bitmask[None], (n_win, n_bits, n_buckets_eff))
+
+    group = 128
+    steps = max(1, n_buckets_eff // group)
+    gcols = n_buckets_eff // steps
+    lanes = n_win * n_bits * gcols
+    tile = 512 if lanes % 512 == 0 else (128 if lanes % 128 == 0 else None)
+    assert tile is not None, (n_win, n_bits, gcols)
+    add_fn = make_te_full_add(curve, lanes, tile, interpret)
+
+    planes = [jnp.moveaxis(a, -1, 0).reshape(nl, n_win, steps, gcols)
+              for a in bucket_sums]
+    skip = jnp.asarray(
+        skip_np.reshape(n_win, n_bits, steps, gcols).astype(np.uint32))
+
+    def body(tv, acc):
+        qs = [jnp.broadcast_to(pl_[:, :, tv, None, :],
+                               (nl, n_win, n_bits, gcols)).reshape(nl, lanes)
+              for pl_ in planes]
+        sk = skip[:, :, tv, :].reshape(1, lanes)
+        return add_fn(acc[0], acc[1], acc[2], acc[3], *qs, sk)
+
+    one = jnp.broadcast_to(
+        jnp.asarray(limbs_from_int(1, nl))[:, None], (nl, lanes))
+    init = (jnp.zeros((nl, lanes), jnp.uint32), one, one,
+            jnp.zeros((nl, lanes), jnp.uint32))
+    acc = jax.lax.fori_loop(0, steps, body, init)
+    pt = te_mod.TePoint(*(a.T.reshape(n_win, n_bits, gcols, nl)
+                          for a in acc))
+    # tree over the group columns, then the 2^j fold (XLA TE ops)
+    from . import te_path
+    s = te_path.sum_axis(curve, pt, 2)           # (n_win, n_bits)
+
+    def fold(k, a):
+        a = te_mod.TePoint(*a)
+        j = n_bits - 1 - k
+        a = te_mod.dbl(curve, a)
+        return tuple(te_mod.add(curve, a,
+                                te_mod.TePoint(*(x[:, j] for x in s))))
+
+    init2 = te_mod.TePoint(*(x[:, n_bits - 1] for x in s))
+    out = jax.lax.fori_loop(1, n_bits, fold, tuple(init2))
+    return te_mod.TePoint(*out)

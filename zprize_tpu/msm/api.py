@@ -22,10 +22,14 @@ from . import pippenger
 @dataclasses.dataclass
 class MsmContext:
     """Device-resident preprocessed points (the reference's
-    `MultiScalarMultContext`/`MSMContext`)."""
+    `MultiScalarMultContext`/`MSMContext`).  `prepared` holds the
+    curve-form-specific preprocessing (TE conversion + row packing) done
+    once at init, untimed — exactly the split the reference benchmark
+    measures (`yrrid/benches/msm.rs:13-46` times only the batch calls)."""
     curve: CurveSpec
     points: sw.Affine
     window_bits: int
+    prepared: object = None
 
     @property
     def size(self):
@@ -48,8 +52,10 @@ def multi_scalar_mult_init(curve: CurveSpec, points_xy, inf=None,
                         fp.from_ints(curve.field, ys),
                         jnp.asarray(np.array(infs)))
     n = aff.x.shape[0]
-    c = window_bits or pippenger.default_window_bits(n)
-    return MsmContext(curve, aff, c)
+    prepared = pippenger.prepare_points(curve, aff, window_bits)
+    c = (prepared.c if prepared is not None
+         else window_bits or pippenger.default_window_bits(n))
+    return MsmContext(curve, aff, c, prepared)
 
 
 def multi_scalar_mult(ctx: MsmContext, scalars: jax.Array) -> list[sw.Point]:
@@ -60,5 +66,5 @@ def multi_scalar_mult(ctx: MsmContext, scalars: jax.Array) -> list[sw.Point]:
     out = []
     for b in range(scalars.shape[0]):
         out.append(pippenger.msm(ctx.curve, ctx.points, scalars[b],
-                                 c=ctx.window_bits))
+                                 c=ctx.window_bits, prepared=ctx.prepared))
     return out

@@ -209,8 +209,84 @@ def combine_windows(curve: CurveSpec, c: int, window_sums: sw.Point) -> sw.Point
     return sw.Point(*out)
 
 
+import typing
+
+
+class PreparedTe(typing.NamedTuple):
+    """Init-stage point preprocessing for the TE path.  `packed` holds
+    m blocks of u16-packed precomputed rows (block j = 2^(c*g*j) * P);
+    m == 1 means no window collapse (c/g unused beyond bookkeeping)."""
+    packed: jax.Array      # (m*n, 3h)
+    c: int
+    g: int                 # bucket sets after collapse
+    m: int                 # stored multiples per point
+    n: int                 # original point count
+
+
+def plan_collapse(curve: CurveSpec, n: int, c: int | None = None,
+                  budget_bytes: int | None = None) -> tuple[int, int, int]:
+    """Choose (c, G, m) for the window-precompute collapse: minimize
+    accumulate adds (W*n mixed) + merge adds (G * bits * 2^(c-1) full)
+    subject to the precompute-table memory budget (the same trade
+    `MSM.cu:373-377` makes; their 2^26 config stores 6 multiples)."""
+    import os
+    if budget_bytes is None:
+        budget_bytes = int(float(os.environ.get("ZPRIZE_PRE_GB", "4"))
+                           * (1 << 30))
+    h = (curve.field.n_limbs + 1) // 2
+    row_bytes = 3 * h * 4
+    m_cap = max(1, budget_bytes // max(1, n * row_bytes))
+    best = None
+    c_range = [c] if c else range(8, 23)
+    for cc in c_range:
+        w = num_windows(curve, cc)
+        m = min(m_cap, w)
+        g = -(-w // m)
+        m = -(-w // g)  # shrink m back to what g actually needs
+        bits = max(1, (1 << (cc - 1)).bit_length())
+        cost = w * n + g * bits * (1 << (cc - 1)) * 8 / 7.0
+        if best is None or cost < best[0]:
+            best = (cost, cc, g, m)
+    return best[1], best[2], best[3]
+
+
+def prepare_points(curve: CurveSpec, points: sw.Affine,
+                   c: int | None = None,
+                   collapse: bool | None = None) -> "PreparedTe | None":
+    """Preprocess a fixed point set for repeated MSMs (the untimed
+    `multi_scalar_mult_init` stage of the reference benchmark,
+    `prize1a-msm-gpu/yrrid/src/lib.rs:38-64`): TE conversion + u16 row
+    packing, plus (default) the window-precompute multiple table.  Returns
+    None when the curve has no TE form.  The handle is passed to
+    `msm(prepared=...)`."""
+    import os
+    if not _te_enabled(curve):
+        return None
+    from . import te_path
+    n = points.x.shape[0]
+    if collapse is None:
+        collapse = os.environ.get("ZPRIZE_PRECOMPUTE", "1") != "0"
+    if collapse:
+        c, g, m = plan_collapse(curve, n, c)
+    else:
+        c = c or default_window_bits(n)
+        g, m = num_windows(curve, c), 1
+    if m > 1:
+        packed, bad = te_path.prepare_points_collapsed(
+            curve, points.x, points.y, points.inf, c * g, m)
+    else:
+        packed, bad = te_path.prepare_points(curve, points.x, points.y,
+                                             points.inf)
+    if bool(np.asarray(jax.device_get(bad))):
+        raise ValueError(
+            "input contains exceptional points with no twisted-Edwards "
+            "image; rerun with ZPRIZE_TE=0 for the short-Weierstrass path")
+    return PreparedTe(packed, c, g, m, n)
+
+
 def msm(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
-        c: int | None = None, cap: int | None = None) -> sw.Point:
+        c: int | None = None, cap: int | None = None,
+        prepared=None) -> sw.Point:
     """Multi-scalar multiplication sum_i scalars[i] * points[i].
 
     API parity with `multi_scalar_mult` (`prize1a-msm-gpu/yrrid/src/lib.rs:66-90`),
@@ -222,38 +298,70 @@ def msm(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
     jitted with static shapes.
     """
     n = points.x.shape[0]
-    if c is None:
+    te_on = _te_enabled(curve)
+    if te_on and prepared is None:
+        prepared = prepare_points(curve, points, c)
+    if prepared is not None:
+        c = prepared.c
+    elif c is None:
         c = default_window_bits(n)
     n_win = num_windows(curve, c)
     if cap is None:
         mean = max(1, n // (1 << (c - 1)))
         cap = 1 << int(math.ceil(math.log2(mean * 2 + 8)))
     digits = signed_digits(curve, c, n_win, scalars)
-    # input identity points contribute nothing: zero their digits
-    digits = jnp.where(points.inf[None, :], 0, digits)
+    full_nbe = 1 << (c - 1)
+
+    if prepared is not None and prepared.m > 1:
+        # window-precompute collapse: window w = j*G + r accumulates point
+        # block j (= 2^(cGj) P) into bucket set r — a pure reshape of the
+        # digit matrix onto the expanded point table.
+        g, m = prepared.g, prepared.m
+        digits = jnp.pad(digits, ((0, m * g - n_win), (0, 0)))
+        digits = digits.reshape(m, g, n).transpose(1, 0, 2).reshape(g, m * n)
+        digits = jnp.where(jnp.tile(points.inf, m)[None, :], 0, digits)
+        groups: dict[int, list[int]] = {full_nbe: list(range(g))}
+    else:
+        # input identity points contribute nothing: zero their digits
+        digits = jnp.where(points.inf[None, :], 0, digits)
+        # Group windows by their static digit range: top carry windows cover
+        # only a few scalar bits, so their buckets concentrate — give them a
+        # narrow rectangle (their own effective window width) instead of the
+        # full 2^(c-1) lanes at crushing depth.
+        scalar_bits = curve.scalar.p.bit_length()
+        groups = {}
+        for w in range(n_win):
+            raw_bits = min(c, max(0, scalar_bits - w * c))
+            dmax = min(full_nbe, (1 << raw_bits) + 1)  # |digit| bound
+            nbe = min(full_nbe, max(4, 1 << (dmax - 1).bit_length()))
+            groups.setdefault(nbe, []).append(w)
+
     perm, starts, counts, max_counts = bucket_counts_all(c, digits)
     max_np = np.asarray(jax.device_get(max_counts))
 
-    # Group windows by their static digit range: top carry windows cover
-    # only a few scalar bits, so their buckets concentrate — give them a
-    # narrow rectangle (their own effective window width) instead of the
-    # full 2^(c-1) lanes at crushing depth.
-    full_nbe = 1 << (c - 1)
-    scalar_bits = curve.scalar.p.bit_length()
-    groups: dict[int, list[int]] = {}
-    for w in range(n_win):
-        raw_bits = min(c, max(0, scalar_bits - w * c))
-        dmax = min(full_nbe, (1 << raw_bits) + 1)  # |digit| bound (carry incl)
-        nbe = min(full_nbe, max(4, 1 << (dmax - 1).bit_length()))
-        groups.setdefault(nbe, []).append(w)
-
     use_pallas = _pallas_enabled()
+    if te_on:
+        return _msm_te(curve, prepared.packed, digits, perm, starts, counts,
+                       max_np, groups, c, use_pallas)
     if use_pallas:
+        import os
         from .accum_kernel import (accumulate_pass_pallas,
+                                   accumulate_rect_pallas,
                                    merge_buckets_pallas, tier_schedule)
+        # A/B on v5e: rect materialization wins at 2^16 (450 vs 508 ms) but
+        # loses at 2^18 (1006 vs 870 ms) — the XLA gather+transpose glue
+        # scales worse than the per-rank path.  Default: on below 2^17.
+        rect_env = os.environ.get("ZPRIZE_RECT")
+        if rect_env is not None:
+            use_rect = rect_env != "0"
+        else:
+            use_rect = n < (1 << 17)
 
         def acc_fn(curve, c, cap, px, py, d, p, s, ct, n_buckets_eff, rank0,
                    tiers=None):
+            if tiers is not None and use_rect:
+                return accumulate_rect_pallas(curve, c, tiers, px, py,
+                                              d, p, s, ct, n_buckets_eff)
             return accumulate_pass_pallas(curve, c, cap, px, py, d, p, s, ct,
                                           n_buckets_eff=n_buckets_eff,
                                           tier_depths=tiers, rank0=rank0)
@@ -308,17 +416,96 @@ def msm(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
     return combine_windows(curve, c, stacked)
 
 
+def _te_enabled(curve: CurveSpec) -> bool:
+    """Use the twisted-Edwards accumulate path (7M unified adds) when the
+    curve has a TE form; `ZPRIZE_TE=0` forces the short-Weierstrass path."""
+    import os
+    if os.environ.get("ZPRIZE_TE", "1") == "0":
+        return False
+    from ..curve import te
+    try:
+        te.te_params(curve)
+        return True
+    except ValueError:
+        return False
+
+
+def _msm_te(curve: CurveSpec, packed, digits, perm, starts,
+            counts, max_np, groups, c: int, use_pallas: bool) -> sw.Point:
+    """TE-form core of `msm` (same window grouping / tiering decisions):
+    points arrive pre-converted/packed (`prepare_points`); accumulate +
+    merge + combine in extended TE coordinates, map the single result back
+    to SW projective."""
+    from ..curve import te
+    from . import te_path
+    n_win = digits.shape[0]
+
+    window_sums = [None] * n_win
+    for nbe, ws in sorted(groups.items(), reverse=True):
+        widx = np.asarray(ws)
+        group_max = int(max_np[widx].max()) if len(widx) else 0
+        jw = jnp.asarray(widx)
+        d_g, p_g = digits[jw], perm[jw]
+        s_g, c_g = starts[jw], counts[jw]
+        depth = max(1, group_max)
+        if use_pallas:
+            from .accum_kernel import (accumulate_te_pallas,
+                                       merge_buckets_te_pallas,
+                                       tier_schedule)
+            tiers = (depth,)
+            if len(ws) * nbe >= 4096:
+                lane_counts = np.asarray(
+                    jax.device_get(c_g[:, 1:nbe + 1])).reshape(-1)
+                pad = (-lane_counts.size) % 512
+                desc = np.sort(np.concatenate(
+                    [lane_counts, np.zeros(pad, lane_counts.dtype)]))[::-1]
+                tiers = tier_schedule(desc)
+            sums = accumulate_te_pallas(curve, c, depth, packed, d_g, p_g,
+                                        s_g, c_g, nbe, tier_depths=tiers)
+            n_bits = max(1, nbe.bit_length())
+            lane_count = len(ws) * n_bits * min(nbe, 128)
+            if len(ws) * nbe * n_bits >= 4096 and lane_count % 128 == 0:
+                merged = merge_buckets_te_pallas(curve, c, False, sums)
+            else:
+                merged = te_path.merge_buckets_te(curve, c, sums)
+        else:
+            sums = te_path.accumulate_te(curve, c, depth, packed, d_g, p_g,
+                                         s_g, c_g, nbe)
+            merged = te_path.merge_buckets_te(curve, c, sums)
+        for k, w in enumerate(ws):
+            window_sums[w] = te.TePoint(*(a[k] for a in merged))
+
+    stacked = te.TePoint(*(jnp.stack([getattr(p, f)
+                                      for p in window_sums])
+                           for f in ("x", "y", "z", "t")))
+    return te_path.finish_te(curve, c, stacked)
+
+
 def msm_jit_static(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
-                   c: int, cap_total: int) -> sw.Point:
+                   c: int, cap_total: int,
+                   check_occupancy: bool = True) -> sw.Point:
     """Fully-jittable MSM variant (no host sync): a fixed budget of
     `cap_total` per-bucket ranks is covered in one rectangle.  Correct for
     any input with max bucket occupancy <= cap_total; intended for use inside
     larger jitted pipelines (prover) where scalars are uniform field elements
-    and occupancy bounds hold with overwhelming margin."""
+    and occupancy bounds hold with overwhelming margin.
+
+    `check_occupancy` (default on) raises loudly from a host callback if any
+    bucket exceeds `cap_total` — adversarial digit distributions must fail,
+    not silently drop points.  Disable only when the caller has its own
+    occupancy bound (e.g. cap_total == local n)."""
     n_win = num_windows(curve, c)
     digits = signed_digits(curve, c, n_win, scalars)
     digits = jnp.where(points.inf[None, :], 0, digits)
-    perm, starts, counts, _ = bucket_counts_all(c, digits)
+    perm, starts, counts, max_count = bucket_counts_all(c, digits)
+    if check_occupancy and cap_total < points.x.shape[0]:
+        def _assert_cap(mc, cap=cap_total):
+            worst = int(np.max(mc))
+            if worst > cap:
+                raise RuntimeError(
+                    f"msm_jit_static: bucket occupancy {worst} exceeds "
+                    f"cap_total {cap}; result would drop points")
+        jax.debug.callback(_assert_cap, jnp.max(max_count))
     bucket_sums = accumulate_pass_all(curve, c, cap_total, points.x, points.y,
                                       digits, perm, starts, counts)
     window_sums = merge_buckets_all(curve, c, bucket_sums)

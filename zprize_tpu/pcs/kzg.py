@@ -40,10 +40,22 @@ class Srs:
     h: tuple | None = None            # G2 generator, affine Fq2 int pairs
     tau_h: tuple | None = None        # tau * H
     tau: int | None = None
+    _prepared: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @property
     def size(self):
         return self.g1_powers.x.shape[0]
+
+    def prepared(self, n: int):
+        """Cached fixed-base MSM preprocessing for the length-n SRS prefix
+        (TE conversion + window-precompute table — the analog of the
+        reference's persisted `snarkvm_msm_cache`).  The SRS never changes,
+        so every commit of a given size reuses the same table."""
+        if n not in self._prepared:
+            pts = sw.Affine(self.g1_powers.x[:n], self.g1_powers.y[:n],
+                            self.g1_powers.inf[:n])
+            self._prepared[n] = pippenger.prepare_points(self.curve, pts)
+        return self._prepared[n]
 
 
 def setup_test_srs(curve: CurveSpec, size: int, seed: int = 0) -> Srs:
@@ -70,7 +82,8 @@ def commit(srs: Srs, coeffs: jax.Array, c: int | None = None) -> sw.Point:
     assert n <= srs.size, "polynomial larger than SRS"
     points = sw.Affine(srs.g1_powers.x[:n], srs.g1_powers.y[:n],
                        srs.g1_powers.inf[:n])
-    return pippenger.msm(srs.curve, points, coeffs, c=c)
+    return pippenger.msm(srs.curve, points, coeffs, c=c,
+                         prepared=srs.prepared(n))
 
 
 def open_at(srs: Srs, coeffs: jax.Array, z: jax.Array):

@@ -159,6 +159,19 @@ def _blind(fr, coeffs, randomizers):
 
 def prove(pk: ProvingKey, assignment: dict, public: list[int],
           blinding_rng=None) -> Proof:
+    """Dict-assignment convenience wrapper: materializes the (3, n) wire
+    planes on the host, then runs the device pipeline.  Large workloads
+    should build wire planes on device and call `prove_planes` (the
+    host int round-trip dominates beyond ~2^16 gates)."""
+    fr = pk.curve.scalar
+    w_ints = pk.circuit.wire_values(assignment)
+    wires = fp.from_ints(fr, w_ints.tolist())          # (3, n, L)
+    return prove_planes(pk, wires, public, blinding_rng)
+
+
+def prove_planes(pk: ProvingKey, wires: jax.Array, public: list[int],
+                 blinding_rng=None) -> Proof:
+    """Prove from device-resident wire evaluation planes (3, n, L)."""
     curve, fr = pk.curve, pk.curve.scalar
     n = pk.circuit.n
     cc = pk.circuit
@@ -171,13 +184,10 @@ def prove(pk: ProvingKey, assignment: dict, public: list[int],
     for v in public:
         transcript.absorb_fr(fp.constant(fr, v))
 
-    # --- wires and public-input polynomial -------------------------------
-    w_ints = cc.wire_values(assignment)
-    wires = fp.from_ints(fr, w_ints.tolist())          # (3, n, L)
-    pi_ints = [0] * n
+    # --- public-input polynomial (device scatter; public rows are few) ---
+    pi_evals = fp.zeros(fr, (n,))
     for idx, row in enumerate(cc.public_rows):
-        pi_ints[row] = (-public[idx]) % p
-    pi_evals = fp.from_ints(fr, pi_ints)
+        pi_evals = pi_evals.at[row].set(fp.constant(fr, (-public[idx]) % p))
 
     wire_coeffs0 = intt(dom, wires)                     # (3, n, L)
     wire_coeffs = [
