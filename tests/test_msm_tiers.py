@@ -38,7 +38,8 @@ def test_tiered_accumulate_matches_xla():
     desc = np.sort(np.concatenate(
         [lane_counts, np.zeros(pad, lane_counts.dtype)]))[::-1]
     tiers = tier_schedule(desc)
-    assert tiers[-1] == int(desc[0])
+    # depths are quantized up for compile stability — coverage, not equality
+    assert tiers[-1] >= int(desc[0])
     ref = pip.accumulate_pass_all(CURVE, c, int(desc[0]), aff.x, aff.y,
                                   d_g, p_g, s_g, c_g)
     got = accumulate_pass_pallas(CURVE, c, 0, aff.x, aff.y, d_g, p_g,

@@ -464,6 +464,12 @@ def tier_schedule(desc_counts, tile: int = 512):
         p = p_next
     out, prev = [], 0
     for d in depths:
+        # round up to ~12.5% granularity (min 8): occupancy noise across
+        # scalar draws then maps to the SAME static schedule, so the fused
+        # jit around the tiered accumulate does not recompile per MSM
+        if d > 0:
+            q = max(8, 1 << max(0, d.bit_length() - 4))
+            d = -(-d // q) * q
         out.append(max(d, prev))
         prev = out[-1]
     return tuple(out)

@@ -90,10 +90,14 @@ def signed_digits(curve: CurveSpec, c: int, n_win: int, scalars: jax.Array):
 
 def _bucket_counts_core(c: int, digits_w: jax.Array):
     """Per-window stable grouping: returns (perm, starts, counts, max_count)
-    for buckets 1..2^(c-1) (bucket 0 contributes nothing)."""
+    for buckets 1..2^(c-1) (bucket 0 contributes nothing).
+
+    One `lax.sort` carries the index payload along with the keys — the
+    argsort-then-gather formulation pays a second full-array gather for
+    `b[perm]` (measured 5x the sort itself on v5e)."""
     b = jnp.abs(digits_w)
-    perm = jnp.argsort(b, stable=True)
-    sorted_b = b[perm]
+    iota = jax.lax.iota(jnp.int32, b.shape[0])
+    sorted_b, perm = jax.lax.sort((b, iota), num_keys=1, is_stable=True)
     n_buckets = (1 << (c - 1)) + 1
     starts = jnp.searchsorted(sorted_b, jnp.arange(n_buckets, dtype=sorted_b.dtype))
     ends = jnp.searchsorted(sorted_b, jnp.arange(n_buckets, dtype=sorted_b.dtype),
@@ -306,43 +310,25 @@ def msm(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
     elif c is None:
         c = default_window_bits(n)
     n_win = num_windows(curve, c)
+    use_pallas = _pallas_enabled()
+    full_nbe = 1 << (c - 1)
+
+    if te_on:
+        return _msm_te(curve, prepared, points.inf, scalars, c, use_pallas)
+
     if cap is None:
         mean = max(1, n // (1 << (c - 1)))
         cap = 1 << int(math.ceil(math.log2(mean * 2 + 8)))
     digits = signed_digits(curve, c, n_win, scalars)
-    full_nbe = 1 << (c - 1)
-
-    if prepared is not None and prepared.m > 1:
-        # window-precompute collapse: window w = j*G + r accumulates point
-        # block j (= 2^(cGj) P) into bucket set r — a pure reshape of the
-        # digit matrix onto the expanded point table.
-        g, m = prepared.g, prepared.m
-        digits = jnp.pad(digits, ((0, m * g - n_win), (0, 0)))
-        digits = digits.reshape(m, g, n).transpose(1, 0, 2).reshape(g, m * n)
-        digits = jnp.where(jnp.tile(points.inf, m)[None, :], 0, digits)
-        groups: dict[int, list[int]] = {full_nbe: list(range(g))}
-    else:
-        # input identity points contribute nothing: zero their digits
-        digits = jnp.where(points.inf[None, :], 0, digits)
-        # Group windows by their static digit range: top carry windows cover
-        # only a few scalar bits, so their buckets concentrate — give them a
-        # narrow rectangle (their own effective window width) instead of the
-        # full 2^(c-1) lanes at crushing depth.
-        scalar_bits = curve.scalar.p.bit_length()
-        groups = {}
-        for w in range(n_win):
-            raw_bits = min(c, max(0, scalar_bits - w * c))
-            dmax = min(full_nbe, (1 << raw_bits) + 1)  # |digit| bound
-            nbe = min(full_nbe, max(4, 1 << (dmax - 1).bit_length()))
-            groups.setdefault(nbe, []).append(w)
-
+    # input identity points contribute nothing: zero their digits
+    digits = jnp.where(points.inf[None, :], 0, digits)
+    # Group windows by their static digit range: top carry windows cover
+    # only a few scalar bits, so their buckets concentrate — give them a
+    # narrow rectangle (their own effective window width) instead of the
+    # full 2^(c-1) lanes at crushing depth.
+    groups = _window_groups(curve, c, n_win, full_nbe)
     perm, starts, counts, max_counts = bucket_counts_all(c, digits)
     max_np = np.asarray(jax.device_get(max_counts))
-
-    use_pallas = _pallas_enabled()
-    if te_on:
-        return _msm_te(curve, prepared.packed, digits, perm, starts, counts,
-                       max_np, groups, c, use_pallas)
     if use_pallas:
         import os
         from .accum_kernel import (accumulate_pass_pallas,
@@ -430,36 +416,64 @@ def _te_enabled(curve: CurveSpec) -> bool:
         return False
 
 
-def _msm_te(curve: CurveSpec, packed, digits, perm, starts,
-            counts, max_np, groups, c: int, use_pallas: bool) -> sw.Point:
-    """TE-form core of `msm` (same window grouping / tiering decisions):
-    points arrive pre-converted/packed (`prepare_points`); accumulate +
-    merge + combine in extended TE coordinates, map the single result back
-    to SW projective."""
+def _window_groups(curve: CurveSpec, c: int, n_win: int,
+                   full_nbe: int) -> dict[int, list[int]]:
+    scalar_bits = curve.scalar.p.bit_length()
+    groups: dict[int, list[int]] = {}
+    for w in range(n_win):
+        raw_bits = min(c, max(0, scalar_bits - w * c))
+        dmax = min(full_nbe, (1 << raw_bits) + 1)  # |digit| bound
+        nbe = min(full_nbe, max(4, 1 << (dmax - 1).bit_length()))
+        groups.setdefault(nbe, []).append(w)
+    return groups
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _digits_grouped_te(curve: CurveSpec, c: int, cspec, gspec, scalars, inf):
+    """Dispatch 1 of the TE MSM: digits, bucket grouping, and the
+    descending lane-occupancy vectors the host tier scheduler needs.
+    `cspec`: None or (G, m, n) window-collapse split; `gspec`: static
+    ((nbe, ws-tuple), ...) window grouping."""
+    n_win = num_windows(curve, c)
+    digits = signed_digits(curve, c, n_win, scalars)
+    if cspec is not None:
+        g, m, n = cspec
+        digits = jnp.pad(digits, ((0, m * g - n_win), (0, 0)))
+        digits = digits.reshape(m, g, n).transpose(1, 0, 2).reshape(g, m * n)
+        digits = jnp.where(jnp.tile(inf, m)[None, :], 0, digits)
+    else:
+        digits = jnp.where(inf[None, :], 0, digits)
+    perm, starts, counts, _ = bucket_counts_all(c, digits)
+    descs = []
+    for nbe, ws in gspec:
+        lc = counts[jnp.asarray(ws), 1:nbe + 1].reshape(-1)
+        pad = (-lc.shape[0]) % 512
+        descs.append(-jnp.sort(-jnp.pad(lc, (0, pad))))
+    return digits, perm, starts, counts, tuple(descs)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _msm_te_device(curve: CurveSpec, c: int, gspec, tiers_spec,
+                   use_pallas: bool, packed, digits, perm, starts, counts):
+    """Dispatch 2 of the TE MSM: tiered accumulate + bucket merge + window
+    combine + TE->SW conversion, one fused graph (the per-stage dispatch
+    floor through the remote tunnel is ~30 ms — a 10-dispatch MSM pays it
+    ten times)."""
     from ..curve import te
     from . import te_path
     n_win = digits.shape[0]
-
     window_sums = [None] * n_win
-    for nbe, ws in sorted(groups.items(), reverse=True):
-        widx = np.asarray(ws)
-        group_max = int(max_np[widx].max()) if len(widx) else 0
-        jw = jnp.asarray(widx)
-        d_g, p_g = digits[jw], perm[jw]
-        s_g, c_g = starts[jw], counts[jw]
-        depth = max(1, group_max)
+    for (nbe, ws), tiers in zip(gspec, tiers_spec):
+        if ws == tuple(range(digits.shape[0])):
+            d_g, p_g, s_g, c_g = digits, perm, starts, counts
+        else:
+            jw = jnp.asarray(ws)
+            d_g, p_g = digits[jw], perm[jw]
+            s_g, c_g = starts[jw], counts[jw]
+        depth = max(1, tiers[-1])
         if use_pallas:
             from .accum_kernel import (accumulate_te_pallas,
-                                       merge_buckets_te_pallas,
-                                       tier_schedule)
-            tiers = (depth,)
-            if len(ws) * nbe >= 4096:
-                lane_counts = np.asarray(
-                    jax.device_get(c_g[:, 1:nbe + 1])).reshape(-1)
-                pad = (-lane_counts.size) % 512
-                desc = np.sort(np.concatenate(
-                    [lane_counts, np.zeros(pad, lane_counts.dtype)]))[::-1]
-                tiers = tier_schedule(desc)
+                                       merge_buckets_te_pallas)
             sums = accumulate_te_pallas(curve, c, depth, packed, d_g, p_g,
                                         s_g, c_g, nbe, tier_depths=tiers)
             n_bits = max(1, nbe.bit_length())
@@ -479,6 +493,35 @@ def _msm_te(curve: CurveSpec, packed, digits, perm, starts,
                                       for p in window_sums])
                            for f in ("x", "y", "z", "t")))
     return te_path.finish_te(curve, c, stacked)
+
+
+def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
+            use_pallas: bool) -> sw.Point:
+    """TE-form core of `msm`: two device dispatches + one small host
+    transfer (the descending occupancy vectors for the static tier
+    schedule) — the host-side launch planning analog of `MSM.cu:419-477`."""
+    from .accum_kernel import tier_schedule
+    n_win = num_windows(curve, c)
+    full_nbe = 1 << (c - 1)
+    if prepared.m > 1:
+        cspec = (prepared.g, prepared.m, prepared.n)
+        gdict = {full_nbe: list(range(prepared.g))}
+    else:
+        cspec = None
+        gdict = _window_groups(curve, c, n_win, full_nbe)
+    gspec = tuple(sorted(((nbe, tuple(ws)) for nbe, ws in gdict.items()),
+                         reverse=True))
+    digits, perm, starts, counts, descs = _digits_grouped_te(
+        curve, c, cspec, gspec, scalars, inf)
+    tiers_spec = []
+    for (nbe, ws), desc in zip(gspec, descs):
+        desc_np = np.asarray(jax.device_get(desc))
+        if use_pallas and len(ws) * nbe >= 4096:
+            tiers_spec.append(tier_schedule(desc_np))
+        else:
+            tiers_spec.append((max(1, int(desc_np[0])),))
+    return _msm_te_device(curve, c, gspec, tuple(tiers_spec), use_pallas,
+                          prepared.packed, digits, perm, starts, counts)
 
 
 def msm_jit_static(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
