@@ -393,10 +393,33 @@ def batch_inv(spec: FieldSpec, a: jax.Array, axis: int = 0) -> jax.Array:
 
 
 def from_ints(spec: FieldSpec, values) -> jax.Array:
-    arr = np.asarray(values, dtype=object)
-    flat = [limbs_from_int(int(v) % spec.p, spec.n_limbs) for v in arr.reshape(-1)]
-    out = np.stack(flat).reshape(arr.shape + (spec.n_limbs,))
-    return jnp.asarray(out.astype(np.uint32))
+    """Vectorized host conversion: int -> fixed-width little-endian bytes
+    (C-speed) -> numpy bit extraction of the 15-bit limbs.  ~100x faster
+    than a per-int limb loop at 2^20+ (the 2^24-scale benches build
+    16M-element scalar planes on the host)."""
+    if isinstance(values, (list, tuple)) and (
+            not values or isinstance(values[0], int)):
+        flat = values                    # fast path: flat python list
+        shape = (len(values),)
+    else:
+        arr = np.asarray(values, dtype=object)
+        flat = arr.reshape(-1).tolist()
+        shape = arr.shape
+    n_limbs = spec.n_limbs
+    if not flat:
+        return jnp.zeros(shape + (n_limbs,), jnp.uint32)
+    nb = (n_limbs * BASE_BITS + 7) // 8
+    p = spec.p
+    buf = b"".join((v % p).to_bytes(nb, "little") for v in flat)
+    by = np.frombuffer(buf, np.uint8).reshape(-1, nb)
+    by = np.concatenate([by, np.zeros((by.shape[0], 2), np.uint8)], axis=1)
+    by = by.astype(np.uint32)
+    j = np.arange(n_limbs)
+    byte0 = (BASE_BITS * j) // 8
+    shift = (BASE_BITS * j) % 8
+    word = (by[:, byte0] | (by[:, byte0 + 1] << 8) | (by[:, byte0 + 2] << 16))
+    limbs = (word >> shift) & ((1 << BASE_BITS) - 1)
+    return jnp.asarray(limbs.astype(np.uint32).reshape(shape + (n_limbs,)))
 
 
 def to_ints(spec: FieldSpec, a: jax.Array) -> np.ndarray:

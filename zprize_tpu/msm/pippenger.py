@@ -538,18 +538,36 @@ def msm_jit_static(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
     not silently drop points.  Disable only when the caller has its own
     occupancy bound (e.g. cap_total == local n)."""
     n_win = num_windows(curve, c)
+    n = points.x.shape[0]
+    full_nbe = 1 << (c - 1)
     digits = signed_digits(curve, c, n_win, scalars)
     digits = jnp.where(points.inf[None, :], 0, digits)
     perm, starts, counts, max_count = bucket_counts_all(c, digits)
-    if check_occupancy and cap_total < points.x.shape[0]:
-        def _assert_cap(mc, cap=cap_total):
-            worst = int(np.max(mc))
-            if worst > cap:
-                raise RuntimeError(
-                    f"msm_jit_static: bucket occupancy {worst} exceeds "
-                    f"cap_total {cap}; result would drop points")
-        jax.debug.callback(_assert_cap, jnp.max(max_count))
-    bucket_sums = accumulate_pass_all(curve, c, cap_total, points.x, points.y,
-                                      digits, perm, starts, counts)
-    window_sums = merge_buckets_all(curve, c, bucket_sums)
-    return combine_windows(curve, c, window_sums)
+    # Window grouping as in `msm`: top carry windows concentrate their
+    # digits into few buckets (far above any occupancy heuristic), so they
+    # get narrow rectangles at FULL depth (cheap: nbe is small) while the
+    # uniform full-width group uses the static `cap_total` budget.
+    groups = _window_groups(curve, c, n_win, full_nbe)
+    window_sums: list = [None] * n_win
+    for nbe, ws in sorted(groups.items(), reverse=True):
+        jw = jnp.asarray(np.asarray(ws))
+        d_g, p_g = digits[jw], perm[jw]
+        s_g, c_g = starts[jw], counts[jw]
+        cap_g = cap_total if nbe == full_nbe else n
+        if (check_occupancy and cap_g < n and nbe == full_nbe):
+            def _assert_cap(mc, cap=cap_g):
+                worst = int(np.max(mc))
+                if worst > cap:
+                    raise RuntimeError(
+                        f"msm_jit_static: bucket occupancy {worst} exceeds "
+                        f"cap_total {cap}; result would drop points")
+            jax.debug.callback(_assert_cap,
+                               jnp.max(jnp.max(c_g[:, 1:nbe + 1], axis=1)))
+        sums = accumulate_pass_all(curve, c, cap_g, points.x, points.y,
+                                   d_g, p_g, s_g, c_g, n_buckets_eff=nbe)
+        merged = merge_buckets_all(curve, c, sums)
+        for k, w in enumerate(ws):
+            window_sums[w] = sw.Point(*(a[k] for a in merged))
+    stacked = sw.Point(*(jnp.stack([getattr(w, f) for w in window_sums])
+                         for f in ("x", "y", "z")))
+    return combine_windows(curve, c, stacked)

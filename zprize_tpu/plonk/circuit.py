@@ -82,6 +82,40 @@ class CircuitBuilder:
     def assert_equal_const(self, a: int, k: int):
         self.add_gate(1, 0, 0, 0, -k, a, a, a)
 
+    def merge(self, other: "CircuitBuilder") -> int:
+        """Append another builder's gates with variable/row ids offset — the
+        partial-circuit merge of the reference
+        (`winderica/distributed/src/circuit.rs:356-384`
+        `PlonkCircuit::{new_partial, merge}`).  Returns the variable-id
+        offset applied to `other`'s ids."""
+        assert other.spec is self.spec
+        var_off = self.n_vars
+        row_off = len(self.gates)
+        for g in other.gates:
+            self.gates.append(Gate(g.ql, g.qr, g.qo, g.qm, g.qc,
+                                   g.a + var_off, g.b + var_off,
+                                   g.c + var_off))
+        self.public_rows.extend(r + row_off for r in other.public_rows)
+        self.n_vars += other.n_vars
+        return var_off
+
+    def compute_witness(self, assignment: dict[int, int]) -> dict[int, int]:
+        """Forward witness propagation: walk gates in order and solve each
+        output-carrying gate (q_O != 0) for its c variable.  Gadget-built
+        circuits are in topological order by construction, so one pass
+        completes the assignment (the host-side analog of the reference's
+        per-proof witness computation inside `generate_circuit`)."""
+        p = self.spec.p
+        out = dict(assignment)
+        for g in self.gates:
+            if g.qo == 0 or g.c in out:
+                continue
+            a = out.get(g.a, 0)
+            b = out.get(g.b, 0)
+            val = (g.ql * a + g.qr * b + g.qm * a * b + g.qc) % p
+            out[g.c] = val * pow((-g.qo) % p, p - 2, p) % p
+        return out
+
     def compile(self) -> "CompiledCircuit":
         # floor of 8: the blinded quotient has degree 3n+5, which the
         # prover's 4n evaluation coset can only carry when 3n+5 < 4n (n >= 8)
