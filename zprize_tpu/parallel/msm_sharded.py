@@ -43,8 +43,11 @@ def msm_sharded(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
         gz = jax.lax.all_gather(res.z, axis)
         return sw.sum_points(curve, sw.Point(gx, gy, gz), axis=0)
 
-    fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(axis), P(axis), P(axis), P(axis)),
-                       out_specs=P(),
-                       check_vma=False)
+    # jit the shard_map: un-jitted shard_map executes its body EAGERLY per
+    # device (measured 270 s / ~5000 op-by-op compiles for a toy MSM on an
+    # 8-device CPU mesh vs seconds compiled)
+    fn = jax.jit(jax.shard_map(local, mesh=mesh,
+                               in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                               out_specs=P(),
+                               check_vma=False))
     return sw.Point(*fn(points.x, points.y, points.inf, scalars))

@@ -50,10 +50,11 @@ def ntt_fourstep_sharded(spec: FieldSpec, a_matrix: jax.Array, mesh: Mesh,
         # pass 2: row NTTs over the full axis 1 (local: rows sharded)
         return ntt(d2, m_local, axis=1)
 
-    fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(None, axis), P(None, axis)),
-                       out_specs=P(axis, None),
-                       check_vma=False)
+    # jit the shard_map (un-jitted shard_map runs eagerly per device)
+    fn = jax.jit(jax.shard_map(local, mesh=mesh,
+                               in_specs=(P(None, axis), P(None, axis)),
+                               out_specs=P(axis, None),
+                               check_vma=False))
     return fn(a_matrix, tw)
 
 
