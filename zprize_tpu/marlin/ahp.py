@@ -1,0 +1,457 @@
+"""Marlin AHP prover + verifier over the KZG commitment scheme.
+
+Protocol structure mirrors the reference's Marlin
+(`snarkVM algorithms/src/snark/marlin/marlin.rs:303-450` prove_first_half /
+prove_second_half; AHP rounds in `ahp/prover/round_functions/`):
+
+  round 1  witness oracles  w-hat, z_A, z_B          (first.rs)
+  round 2  outer sumcheck   g_1, h_1 over H          (second.rs: summed_z_m
+           = eta_A z_A + eta_B z_B + eta_C z_A z_B, the "t" polynomial,
+           and the q_1 = h_1 v_H + X g_1 decomposition)
+  round 3  inner sumcheck   g_M, h_M, sigma_M over K (third.rs matrix
+           sumcheck: the rational M-hat(alpha, beta) mass)
+  round 4  evaluations at beta (H oracles) and delta (K oracles), batched
+           KZG openings (sonic_pc role).
+
+TPU-first: every polynomial step is an NTT / wide elementwise op / batched
+inversion on limb planes; sparse matvecs are gather + segment-sum on the
+entry domain.  The verifier's O(1) checks run on host ints (they touch a
+handful of field elements), with the two batched KZG openings verified by
+the real ate pairing (`pairing/host.py`).
+
+Known omissions vs the reference (documented): no zero-knowledge mask
+polynomial (proofs are not hiding — same status the PoSW track uses
+Marlin in), and no shifted-power degree-bound commitments for g_1/g_M.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curve import sw
+from ..curve.spec import CurveSpec
+from ..field import fp
+from ..ntt.domain import Domain
+from ..ntt.radix2 import intt, ntt
+from ..pcs import kzg
+from ..plonk.transcript import Transcript
+from ..poly import ops as poly_ops
+from .indexer import IndexProverKey, IndexVerifierKey, IndexedMatrix
+
+M_NAMES = ("a", "b", "c")
+
+
+# ------------------------------------------------------------------ helpers
+
+def _seg_sum(fr, terms: jax.Array, seg: jax.Array, num: int,
+             max_count: int) -> jax.Array:
+    """Field segment-sum: raw u32 limb accumulation (bounded by
+    max_count * 2^16 < 2^32) + one static-bounds normalization."""
+    raw = jax.ops.segment_sum(terms, seg, num_segments=num)
+    bounds = [max(1, max_count) * 65535] * fr.n_limbs
+    return fp._normalize(raw, bounds, fr)
+
+
+def _h_pows(dom: Domain) -> jax.Array:
+    """Full (n, L) plane of omega^j (pows table holds the half; the top
+    half is its negation)."""
+    return jnp.concatenate([dom.pows, fp.neg(dom.spec, dom.pows)], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _gpow_np(fr, g: int, count: int, inverse: bool):
+    p = fr.p
+    gg = pow(g, p - 2, p) if inverse else g
+    vals, cur = [], 1
+    for _ in range(count):
+        vals.append(cur)
+        cur = cur * gg % p
+    return np.asarray(jax.device_get(fp.from_ints(fr, vals)))
+
+
+def _coset_ntt(fr, coeffs, dom_big: Domain, g: int):
+    pows = jnp.asarray(_gpow_np(fr, g, dom_big.n, False))
+    return ntt(dom_big, fp.mul(fr, poly_ops.pad_to(fr, coeffs, dom_big.n),
+                               pows))
+
+
+def _coset_intt(fr, evals, dom_big: Domain, g: int):
+    pows = jnp.asarray(_gpow_np(fr, g, dom_big.n, True))
+    return fp.mul(fr, intt(dom_big, evals), pows)
+
+
+def _vanishing_inv_on_coset(fr, m: int, dom_big: Domain, g: int):
+    """1 / (X^m - 1) on the coset g*W_big: cycles with period big/m."""
+    p = fr.p
+    period = dom_big.n // m
+    gm = pow(g, m, p)
+    wm = pow(dom_big.w, m, p)
+    vals = [pow((gm * pow(wm, i, p) - 1) % p, p - 2, p) for i in range(period)]
+    return jnp.tile(fp.from_ints(fr, vals), (m, 1))
+
+
+def _div_vanishing(fr, coeffs: jax.Array, m: int):
+    """(q, r) with coeffs = q * (X^m - 1) + r, deg r < m; the strided
+    suffix-sum closed form q_i = sum_{j>=1} c_{i+jm}."""
+    nc = coeffs.shape[0]
+    if nc <= m:
+        return fp.zeros(fr, (1,)), poly_ops.pad_to(fr, coeffs, m)
+    rows = -(-nc // m)
+    c = poly_ops.pad_to(fr, coeffs, rows * m).reshape(rows, m, -1)
+    inc = jax.lax.associative_scan(lambda a, b: fp.add(fr, a, b), c,
+                                   axis=0, reverse=True)
+    exc = fp.sub(fr, inc, c)                         # exclusive suffix
+    q = exc.reshape(rows * m, -1)[:nc - m]
+    rem = fp.add(fr, c[0], exc[0])
+    return q, rem
+
+
+def _matvec(fr, im: IndexedMatrix, z_evals, n: int):
+    """(M z) evaluations over H (raw matrix values)."""
+    terms = fp.mul(fr, im.val_raw, z_evals[im.cols_idx])
+    return _seg_sum(fr, terms, im.rows_idx, n, im.max_row_count)
+
+
+def _matvec_t(fr, im: IndexedMatrix, r_vec, n: int):
+    """(M^T r) evaluations over H (the t-polynomial mass per column)."""
+    terms = fp.mul(fr, im.val_raw, r_vec[im.rows_idx])
+    return _seg_sum(fr, terms, im.cols_idx, n, im.max_col_count)
+
+
+def _host_point(curve: CurveSpec, xy):
+    if xy is None:
+        return sw.identity(curve)
+    x = fp.from_ints(curve.field, [xy[0]])[0]
+    y = fp.from_ints(curve.field, [xy[1]])[0]
+    return sw.Point(x, y, fp.ones(curve.field, ()))
+
+
+# ------------------------------------------------------------------ proof
+
+@dataclasses.dataclass
+class MarlinProof:
+    comms: dict              # name -> host affine int pair (or None)
+    sigmas: dict             # matrix -> int
+    evals: dict              # name -> int
+    open_beta: tuple | None  # witness commitment for the beta batch
+    open_delta: tuple | None
+
+
+H_OPEN = ("w", "z_a", "z_b", "g_1", "h_1")
+K_OPEN = tuple(f"{m}_{part}" for m in M_NAMES
+               for part in ("row", "col", "val", "g", "h"))
+
+
+def _absorb_vk(tr: Transcript, vk: IndexVerifierKey):
+    fr = vk.curve.scalar
+    for v in (vk.num_public, vk.log_n, vk.log_k, vk.log_x):
+        tr.absorb_fr(fp.constant(fr, v))
+    for name in sorted(vk.commitments):
+        tr.absorb_point(vk.commitments[name])
+
+
+def _absorb_host_point(tr: Transcript, curve, xy):
+    tr.absorb_point(_host_point(curve, xy))
+
+
+def _challenge_int(tr: Transcript, curve) -> int:
+    return kzg.fr_int(curve, tr.challenge())
+
+
+# ------------------------------------------------------------------ prover
+
+def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
+    """assignment: full variable assignment (public prefix incl. leading 1).
+    Returns a proof verifiable by `verify` with the real pairing check."""
+    curve, fr = pk.curve, pk.curve.scalar
+    p = fr.p
+    r1 = pk.r1cs
+    n, ksz, xsz = 1 << pk.log_n, 1 << pk.log_k, 1 << pk.log_x
+    dom_h, dom_k = Domain(fr, pk.log_n), Domain(fr, pk.log_k)
+    dom_h4, dom_k4 = Domain(fr, pk.log_n + 2), Domain(fr, pk.log_k + 2)
+    dom_x = Domain(fr, pk.log_x)
+    g = fr.generator
+    assert pow(g, 4 * max(n, ksz), p) != 1
+    srs = pk.srs
+    cl = pk.commit_len
+
+    def com(coeffs):
+        return kzg.point_ints(curve, kzg.commit(
+            srs, poly_ops.pad_to(fr, coeffs, cl)))
+
+    public = [v % p for v in assignment[:r1.num_public]]
+
+    # assignment -> slot order
+    slot_vals = [0] * n
+    for v, s in zip(assignment, pk.slot_of_var):
+        slot_vals[int(s)] = v % p
+    z_evals = fp.from_ints(fr, slot_vals)
+
+    tr = Transcript(curve, label=0x4D41524C494E)     # "MARLIN"
+    _absorb_vk(tr, pk.vk)
+    for v in public:
+        tr.absorb_fr(fp.constant(fr, v))
+
+    # ---- round 1: witness oracles ---------------------------------------
+    z_m = {m: _matvec(fr, pk.matrices[m], z_evals, n) for m in ("a", "b")}
+    z_coeffs = intt(dom_h, z_evals)
+    x_evals = fp.from_ints(fr, public + [0] * (xsz - len(public)))
+    x_coeffs = intt(dom_x, x_evals)
+    diff = fp.sub(fr, z_coeffs, poly_ops.pad_to(fr, x_coeffs, n))
+    w_coeffs, _rem = _div_vanishing(fr, diff, xsz)   # exact by construction
+    za_coeffs = intt(dom_h, z_m["a"])
+    zb_coeffs = intt(dom_h, z_m["b"])
+
+    comms = {"w": com(w_coeffs), "z_a": com(za_coeffs),
+             "z_b": com(zb_coeffs)}
+    for name in ("w", "z_a", "z_b"):
+        _absorb_host_point(tr, curve, comms[name])
+    alpha = _challenge_int(tr, curve)
+    etas = {m: _challenge_int(tr, curve) for m in M_NAMES}
+
+    # ---- round 2: outer sumcheck over H ---------------------------------
+    v_h_alpha = (pow(alpha, n, p) - 1) % p
+    h_elems = _h_pows(dom_h)
+    denom = fp.sub(fr, fp.constant(fr, alpha), h_elems)
+    r_vec = fp.mul(fr, fp.constant(fr, v_h_alpha),
+                   fp.batch_inv(fr, denom))          # u_H(alpha, .) on H
+    t_evals = None
+    for m in M_NAMES:
+        tm = _matvec_t(fr, pk.matrices[m], r_vec, n)
+        tm = fp.mul(fr, fp.constant(fr, etas[m]), tm)
+        t_evals = tm if t_evals is None else fp.add(fr, t_evals, tm)
+    r_coeffs = intt(dom_h, r_vec)
+    t_coeffs = intt(dom_h, t_evals)
+
+    cr = _coset_ntt(fr, r_coeffs, dom_h4, g)
+    ct = _coset_ntt(fr, t_coeffs, dom_h4, g)
+    cz = _coset_ntt(fr, z_coeffs, dom_h4, g)
+    cza = _coset_ntt(fr, za_coeffs, dom_h4, g)
+    czb = _coset_ntt(fr, zb_coeffs, dom_h4, g)
+    summed = fp.add_many(fr, [
+        fp.mul(fr, fp.constant(fr, etas["a"]), cza),
+        fp.mul(fr, fp.constant(fr, etas["b"]), czb),
+        fp.mul(fr, fp.constant(fr, etas["c"]), fp.mul(fr, cza, czb))])
+    q1_evals = fp.sub(fr, fp.mul(fr, cr, summed), fp.mul(fr, ct, cz))
+    q1_coeffs = _coset_intt(fr, q1_evals, dom_h4, g)
+    h1_coeffs, rem = _div_vanishing(fr, q1_coeffs, n)
+    g1_coeffs = rem[1:]                              # rem = X g_1 (sum = 0)
+    comms["g_1"] = com(g1_coeffs)
+    comms["h_1"] = com(h1_coeffs)
+    _absorb_host_point(tr, curve, comms["g_1"])
+    _absorb_host_point(tr, curve, comms["h_1"])
+    beta = _challenge_int(tr, curve)
+
+    # ---- round 3: inner sumcheck over K per matrix ----------------------
+    v_h_beta = (pow(beta, n, p) - 1) % p
+    c_ab = v_h_alpha * v_h_beta % p
+    k_inv = pow(ksz, p - 2, p)
+    sigmas, g_polys, h_polys = {}, {}, {}
+    vk_inv4 = _vanishing_inv_on_coset(fr, ksz, dom_k4, g)
+    for m in M_NAMES:
+        im = pk.matrices[m]
+        den = fp.mul(fr, fp.sub(fr, fp.constant(fr, alpha), im.row_e),
+                     fp.sub(fr, fp.constant(fr, beta), im.col_e))
+        f = fp.mul(fr, fp.mul(fr, fp.constant(fr, c_ab), im.val),
+                   fp.batch_inv(fr, den))
+        # sigma = sum_K f  (tree)
+        sig = f
+        while sig.shape[0] > 1:
+            half = sig.shape[0] // 2
+            sig = fp.add(fr, sig[:half], sig[half:])
+        sigma_int = kzg.fr_int(curve, sig[0])
+        sigmas[m] = sigma_int
+        f_coeffs = intt(dom_k, f)
+        g_m = f_coeffs[1:]                           # f = sigma/|K| + X g
+        # h_M = (a - b (X g + sigma/|K|)) / v_K   on the 4K coset
+        a_coeffs = fp.mul(fr, fp.constant(fr, c_ab), im.val_coeffs)
+        ca = _coset_ntt(fr, a_coeffs, dom_k4, g)
+        crow = _coset_ntt(fr, im.row_coeffs, dom_k4, g)
+        ccol = _coset_ntt(fr, im.col_coeffs, dom_k4, g)
+        cb = fp.mul(fr, fp.sub(fr, fp.constant(fr, alpha), crow),
+                    fp.sub(fr, fp.constant(fr, beta), ccol))
+        cf = _coset_ntt(fr, f_coeffs, dom_k4, g)     # X g + sigma/|K| = f
+        ch = fp.mul(fr, fp.sub(fr, ca, fp.mul(fr, cb, cf)), vk_inv4)
+        h_m = _coset_intt(fr, ch, dom_k4, g)[:3 * ksz]
+        g_polys[m], h_polys[m] = g_m, h_m
+        comms[f"{m}_g"] = com(g_m)
+        comms[f"{m}_h"] = com(h_m)
+        _absorb_host_point(tr, curve, comms[f"{m}_g"])
+        _absorb_host_point(tr, curve, comms[f"{m}_h"])
+        tr.absorb_fr(fp.constant(fr, sigma_int))
+    delta = _challenge_int(tr, curve)
+
+    # ---- round 4: evaluations + batched openings ------------------------
+    h_polys_beta = {"w": w_coeffs, "z_a": za_coeffs, "z_b": zb_coeffs,
+                    "g_1": g1_coeffs, "h_1": h1_coeffs}
+    k_polys_delta = {}
+    for m in M_NAMES:
+        im = pk.matrices[m]
+        k_polys_delta[f"{m}_row"] = im.row_coeffs
+        k_polys_delta[f"{m}_col"] = im.col_coeffs
+        k_polys_delta[f"{m}_val"] = im.val_coeffs
+        k_polys_delta[f"{m}_g"] = g_polys[m]
+        k_polys_delta[f"{m}_h"] = h_polys[m]
+
+    evals = {}
+    h_stack = jnp.stack([poly_ops.pad_to(fr, h_polys_beta[nm], cl)
+                         for nm in H_OPEN])
+    ev_b = poly_ops.evaluate(fr, h_stack, fp.constant(fr, beta))
+    for i, name in enumerate(H_OPEN):
+        evals[name] = kzg.fr_int(curve, ev_b[i])
+    k_stack = jnp.stack([poly_ops.pad_to(fr, k_polys_delta[nm], cl)
+                         for nm in K_OPEN])
+    ev_d = poly_ops.evaluate(fr, k_stack, fp.constant(fr, delta))
+    for i, name in enumerate(K_OPEN):
+        evals[name] = kzg.fr_int(curve, ev_d[i])
+    for name in H_OPEN + K_OPEN:
+        tr.absorb_fr(fp.constant(fr, evals[name]))
+    u_beta = _challenge_int(tr, curve)
+    u_delta = _challenge_int(tr, curve)
+
+    def batch_open(polys, order, point, u):
+        combined, upow = None, 1
+        for nm in order:
+            term = fp.mul(fr, poly_ops.pad_to(fr, polys[nm], cl),
+                          fp.constant(fr, upow))
+            combined = term if combined is None else fp.add(fr, combined,
+                                                            term)
+            upow = upow * u % p
+        q, _ = poly_ops.divide_linear(fr, combined, fp.constant(fr, point))
+        return com(q)
+
+    open_beta = batch_open(h_polys_beta, H_OPEN, beta, u_beta)
+    open_delta = batch_open(k_polys_delta, K_OPEN, delta, u_delta)
+    return MarlinProof(comms, sigmas, evals, open_beta, open_delta)
+
+
+# ---------------------------------------------------------------- verifier
+
+def verify(vk: IndexVerifierKey, srs: kzg.Srs, public: list[int],
+           proof: MarlinProof) -> bool:
+    """Host-int verifier: O(1) field checks + two pairing-backed batched
+    KZG openings (`verifier.rs` role).  `public` includes the leading 1."""
+    checks = _verify_checks(vk, srs, public, proof)
+    return checks is not None and kzg.verify_many(srs, checks)
+
+
+def batch_verify(vk: IndexVerifierKey, srs: kzg.Srs, instances,
+                 rng=None) -> bool:
+    """Batch verification of many (public, proof) instances with ONE
+    multi-pairing (the team-prize1 sean-sn strategy: all field/sumcheck
+    checks run per-instance, the 2N pairing equations collapse into one
+    random linear combination).  False if ANY instance fails."""
+    all_checks = []
+    for public, proof in instances:
+        checks = _verify_checks(vk, srs, public, proof)
+        if checks is None:
+            return False
+        all_checks.extend(checks)
+    return kzg.verify_many(srs, all_checks, rng=rng)
+
+
+def _verify_checks(vk: IndexVerifierKey, srs: kzg.Srs, public: list[int],
+                   proof: MarlinProof):
+    """All transcript/sumcheck checks for one proof; returns the two KZG
+    opening check tuples (host ints) or None on failure."""
+    curve = vk.curve
+    fr = curve.scalar
+    p = fr.p
+    n, ksz, xsz = 1 << vk.log_n, 1 << vk.log_k, 1 << vk.log_x
+    if len(public) > xsz or (public and public[0] != 1):
+        return None
+
+    tr = Transcript(curve, label=0x4D41524C494E)
+    _absorb_vk(tr, vk)
+    for v in public:
+        tr.absorb_fr(fp.constant(fr, v % p))
+    try:
+        for name in ("w", "z_a", "z_b"):
+            _absorb_host_point(tr, curve, proof.comms[name])
+        alpha = _challenge_int(tr, curve)
+        etas = {m: _challenge_int(tr, curve) for m in M_NAMES}
+        _absorb_host_point(tr, curve, proof.comms["g_1"])
+        _absorb_host_point(tr, curve, proof.comms["h_1"])
+        beta = _challenge_int(tr, curve)
+        for m in M_NAMES:
+            _absorb_host_point(tr, curve, proof.comms[f"{m}_g"])
+            _absorb_host_point(tr, curve, proof.comms[f"{m}_h"])
+            tr.absorb_fr(fp.constant(fr, proof.sigmas[m]))
+        delta = _challenge_int(tr, curve)
+        for name in H_OPEN + K_OPEN:
+            tr.absorb_fr(fp.constant(fr, proof.evals[name]))
+        u_beta = _challenge_int(tr, curve)
+        u_delta = _challenge_int(tr, curve)
+    except KeyError:
+        return None
+
+    ev = proof.evals
+    v_h_alpha = (pow(alpha, n, p) - 1) % p
+    v_h_beta = (pow(beta, n, p) - 1) % p
+    v_x_beta = (pow(beta, xsz, p) - 1) % p
+    if beta == alpha or v_h_beta == 0 or v_x_beta == 0:
+        return None
+
+    # x-hat(beta) by Lagrange over the X subgroup (|X| is tiny)
+    dom_x = Domain(fr, vk.log_x)
+    wx = dom_x.w
+    x_inv = pow(xsz, p - 2, p)
+    xhat = 0
+    elem = 1
+    for i in range(xsz):
+        xi = public[i] if i < len(public) else 0
+        li = v_x_beta * elem % p * x_inv % p * pow((beta - elem) % p,
+                                                  p - 2, p) % p
+        xhat = (xhat + xi * li) % p
+        elem = elem * wx % p
+    z_beta = (ev["w"] * v_x_beta + xhat) % p
+
+    # outer sumcheck at beta
+    r_ab = (v_h_alpha - v_h_beta) % p * pow((alpha - beta) % p, p - 2, p) % p
+    summed = (etas["a"] * ev["z_a"] + etas["b"] * ev["z_b"]
+              + etas["c"] * ev["z_a"] % p * ev["z_b"]) % p
+    sigma3 = sum(etas[m] * proof.sigmas[m] for m in M_NAMES) % p
+    lhs = (r_ab * summed - sigma3 * z_beta) % p
+    rhs = (ev["h_1"] * v_h_beta + beta * ev["g_1"]) % p
+    if lhs != rhs:
+        return None
+
+    # inner sumchecks at delta
+    v_k_delta = (pow(delta, ksz, p) - 1) % p
+    c_ab = v_h_alpha * v_h_beta % p
+    k_inv = pow(ksz, p - 2, p)
+    for m in M_NAMES:
+        a_d = c_ab * ev[f"{m}_val"] % p
+        b_d = (alpha - ev[f"{m}_row"]) % p * ((beta - ev[f"{m}_col"]) % p) % p
+        f_d = (delta * ev[f"{m}_g"] + proof.sigmas[m] * k_inv) % p
+        if ev[f"{m}_h"] * v_k_delta % p != (a_d - b_d * f_d) % p:
+            return None
+
+    # batched KZG openings: collect the two (C, z, y, W) host tuples;
+    # the caller runs them through ONE multi-pairing (`kzg.verify_many`)
+    def batch_tuple(order, comm_src, point, u, witness):
+        combined, y, upow = None, 0, 1
+        from ..pairing.host import g1_add, g1_mul
+        for nm in order:
+            c = comm_src(nm)
+            if c is not None:
+                combined = g1_add(curve.field.p, combined,
+                                  g1_mul(curve.field.p, c, upow))
+            y = (y + upow * ev[nm]) % p
+            upow = upow * u % p
+        return (combined, point, y, witness)
+
+    return [
+        batch_tuple(H_OPEN, lambda nm: proof.comms[nm], beta, u_beta,
+                    proof.open_beta),
+        batch_tuple(
+            K_OPEN,
+            lambda nm: (kzg.point_ints(curve, vk.commitments[nm])
+                        if nm in vk.commitments else proof.comms[nm]),
+            delta, u_delta, proof.open_delta),
+    ]

@@ -136,6 +136,40 @@ def verify(srs: Srs, commitment: sw.Point, z, y, witness: sw.Point) -> bool:
     return hp.multi_pairing_is_one(pairs)
 
 
+def verify_many(srs: Srs, checks, rng=None) -> bool:
+    """ONE multi-pairing for N KZG opening checks — the batch-verification
+    trick of the team-prize1 track (sean-sn: amortize the pairing across
+    rounds).  `checks` is a list of (c_pt, z, y, w_pt) with c_pt/w_pt host
+    affine int pairs (None = identity) and z/y ints.  Soundness: a random
+    r_i (from `rng`, default system entropy) weights each equation
+        e(C_i - y_i*G + z_i*W_i, H) * e(-W_i, tau*H) == 1
+    so a forged instance escapes only with probability ~1/r."""
+    import random as _rnd
+    assert srs.h is not None and srs.tau_h is not None, "SRS lacks G2 side"
+    curve = srs.curve
+    p = curve.field.p
+    rng = rng if rng is not None else _rnd.SystemRandom()
+    g = (curve.gen_x, curve.gen_y)
+    acc_a = None
+    acc_b = None
+    for c_pt, z_i, y_i, w_pt in checks:
+        r = rng.randrange(1, curve.order) if len(checks) > 1 else 1
+        term = g1_add(p, c_pt, g1_neg(p, g1_mul(p, g, y_i)))
+        if w_pt is not None:
+            term = g1_add(p, term, g1_mul(p, w_pt, z_i))
+            acc_b = g1_add(p, acc_b, g1_mul(p, w_pt, r))
+        acc_a = g1_add(p, acc_a, g1_mul(p, term, r))
+    hp = host_pairing(pairing_for_curve(curve))
+    pairs = []
+    if acc_a is not None:
+        pairs.append((acc_a, hp.g2_gen))
+    if acc_b is not None:
+        pairs.append((g1_neg(p, acc_b), srs.tau_h))
+    if not pairs:
+        return True
+    return hp.multi_pairing_is_one(pairs)
+
+
 def verify_with_trapdoor(srs: Srs, commitment: sw.Point, z: jax.Array,
                          y: jax.Array, witness: sw.Point) -> bool:
     """Exact check of the KZG equation in G1 using the test trapdoor:
