@@ -161,6 +161,49 @@ def test_merge_te_pallas_interpret():
         & (ga.inf == ra.inf))))
 
 
+def test_merge_te_triangle():
+    """Chunked running-sum merge (XLA + Pallas-interpret forms) vs the
+    bit-decomposition reference at a bucket range big enough to trigger
+    the triangle split (B=2^10, W=2)."""
+    from zprize_tpu.msm.accum_kernel import merge_te_triangle_pallas
+    points, s, _ = _msm_case()
+    c, nbe = 11, 1 << 10
+    n_win = pippenger.num_windows(CURVE, c)
+    digits = pippenger.signed_digits(CURVE, c, n_win, s)[:2]
+    perm, starts, counts, _ = pippenger.bucket_counts_all(c, digits)
+    tx, ty, _ = te.sw_to_te(CURVE, points.x, points.y, points.inf)
+    packed = te_path.precompute_packed(CURVE, te.precompute(CURVE, tx, ty))
+    sums = te_path.accumulate_te(CURVE, c, 64, packed, digits, perm,
+                                 starts, counts, nbe)
+    assert te_path.triangle_split(2, nbe) is not None
+    ref = te_path.merge_buckets_te(CURVE, c, sums)
+    for got in (te_path.merge_buckets_te_triangle(CURVE, c, sums),
+                merge_te_triangle_pallas(CURVE, c, True, sums)):
+        ga = sw.to_affine(CURVE, te.te_to_sw(CURVE, got))
+        ra = sw.to_affine(CURVE, te.te_to_sw(CURVE, ref))
+        assert bool(jax.device_get(jnp.all(
+            (fp.eq(CURVE.field, ga.x, ra.x) | (ga.inf & ra.inf))
+            & (fp.eq(CURVE.field, ga.y, ra.y) | (ga.inf & ra.inf))
+            & (ga.inf == ra.inf))))
+
+
+def test_te_to_sw_host(pts8):
+    """Host-int TE->SW conversion vs the device form, incl. identity."""
+    base, tx, ty = pts8
+    f = CURVE.field
+    ext = te.TePoint(tx, ty, fp.ones(f, (8,)), fp.mul(f, tx, ty))
+    dbl2 = te.dbl(CURVE, ext)                       # non-trivial z
+    dev = sw.to_affine(CURVE, te.te_to_sw(CURVE, dbl2))
+    for i in range(8):
+        xi, yi, zi = (int(fp.to_ints(f, a[i])[()]) for a in
+                      (dbl2.x, dbl2.y, dbl2.z))
+        sx, sy, sz = te.te_to_sw_host(CURVE, xi, yi, zi)
+        assert sz == 1
+        assert sx == int(fp.to_ints(f, dev.x[i])[()])
+        assert sy == int(fp.to_ints(f, dev.y[i])[()])
+    assert te.te_to_sw_host(CURVE, 0, 1, 1) == (0, 1, 0)
+
+
 def test_pack_roundtrip():
     rng = np.random.default_rng(3)
     plane = jnp.asarray(rng.integers(0, 1 << 16, (5, 26), dtype=np.uint32))

@@ -320,6 +320,30 @@ def te_to_sw(curve: CurveSpec, p1: TePoint):
                     fp.select(ident, zero, one))
 
 
+def te_to_sw_host(curve: CurveSpec, x: int, y: int, z: int
+                  ) -> tuple[int, int, int]:
+    """Exact host-int TE->SW conversion of ONE point (the MSM result):
+    the device form (`te_to_sw`) costs two ~380-squaring Fermat ladders of
+    latency-bound scalar ops (~100 ms through the dispatch tunnel for a
+    single lane); three python modular inverses are microseconds.  Returns
+    SW projective (x, y, z) with z in {0, 1}."""
+    pr = te_params(curve)
+    p = curve.field.p
+    x, y, z = x % p, y % p, z % p
+    if x == 0 and y == z:
+        return (0, 1, 0)                         # identity
+    zinv = pow(z, p - 2, p)
+    ax, ay = x * zinv % p, y * zinv % p
+    x_plain = ax * pow(pr.ts, p - 2, p) % p
+    if x_plain == 0:                             # TE (0,-1): the 2-torsion
+        return (pr.alpha, 0, 1)
+    num, den = (1 + ay) % p, (1 - ay) % p
+    u = num * pow(den, p - 2, p) % p             # den != 0 off-identity
+    v = u * pow(x_plain, p - 2, p) % p
+    sinv = pow(pr.s, p - 2, p)
+    return ((u * sinv + pr.alpha) % p, v * sinv % p, 1)
+
+
 def sum_scan(curve: CurveSpec, p1: TePoint, axis: int = 0,
              group: int = 256) -> TePoint:
     """Tree/scan reduction along `axis` with bounded trace size (TE analog

@@ -171,6 +171,118 @@ def fold_table_t(spec: FieldSpec) -> np.ndarray:
     return np.ascontiguousarray(spec.fold_table.T)
 
 
+# ---------------------------------------------------------------------------
+# MXU-form multiply: the schoolbook's anti-diagonal accumulation AND the
+# fold reduction as exact f32 matmuls against constant matrices, inside the
+# kernel.  Exactness argument (mirrors fp._mul_wide's XLA-side trick):
+# every partial sum stays an integer < 2^24, the f32 mantissa — the
+# diag-sum accumulates <= 2N terms of < 2^17 (< 2^22.7 total) and the fold
+# matmul <= 4N terms of < 2^14 (< 2^20.7).  VPU work drops to the N
+# row-products + piece extraction; the ~2x-the-schoolbook fold multiplies
+# of `_fold_pass_k` disappear onto the (otherwise idle) MXU.
+# ---------------------------------------------------------------------------
+
+def _pad_to(x: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    out = np.zeros((rows, cols), x.dtype)
+    out[:x.shape[0], :x.shape[1]] = x
+    return out
+
+
+# tail pieces: 6-bit (tail column bounds stay < 2^24 = 4 pieces)
+MXU_PIECE_BITS = 6
+MXU_N_PIECES = 4
+
+
+def mxu_tables(spec: FieldSpec) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """(smat, fmat, k_pad, f_pad) constant matrices for `kmul_mxu`.
+
+    smat (2N_pad8 x K_pad128) f32 0/1: anti-diagonal selector mapping the
+    flattened (lo | hi) partial-product plane to the 2N product columns
+    (lo block row-major (i, j) -> column i+j; hi -> column i+j+1).
+
+    fmat (2N_pad8 x F_pad128) f32: fold matrix over 6-bit tail pieces.
+    Column (q, jt) holds limb k of  2^(6q) * 2^(15*(N+jt)) mod p,  split
+    into 8-bit halves: rows 0..N-1 = low byte, rows N..2N-1 = high byte
+    (recombined in-kernel as lo + (hi << 8))."""
+    n = spec.n_limbs
+    k_dim = 2 * n * n
+    smat = np.zeros((2 * n, k_dim), np.float32)
+    for i in range(n):
+        for j in range(n):
+            smat[i + j, i * n + j] = 1.0
+            smat[i + j + 1, n * n + i * n + j] = 1.0
+    p = spec.p
+    f_dim = MXU_N_PIECES * n
+    fmat = np.zeros((2 * n, f_dim), np.float32)
+    for q in range(MXU_N_PIECES):
+        for jt in range(n):
+            rep = (1 << (MXU_PIECE_BITS * q + BASE_BITS * (n + jt))) % p
+            # rep as N base-2^15 limbs, each split 8/7
+            for k in range(n):
+                limb = (rep >> (BASE_BITS * k)) & LIMB_MASK
+                fmat[k, q * n + jt] = float(limb & 0xFF)
+                fmat[n + k, q * n + jt] = float(limb >> 8)
+    k_pad = -(-k_dim // 128) * 128
+    f_pad = -(-f_dim // 128) * 128
+    rows = -(-2 * n // 8) * 8
+    return (_pad_to(smat, rows, k_pad), _pad_to(fmat, rows, f_pad),
+            k_pad, f_pad)
+
+
+def kmul_mxu(spec: FieldSpec, a, b, smat, fmat, ft):
+    """(N, T) x (N, T) -> (N, T) normal form; bit-identical to `kmul`.
+    `smat`/`fmat` from `mxu_tables`, `ft` = fold_table_t — all passed in
+    (Pallas kernels cannot capture array constants)."""
+    n = spec.n_limbs
+    t = a.shape[1]
+    k_pad, f_pad = smat.shape[1], fmat.shape[1]
+
+    # partial products, f32 pieces (lo | hi), flattened row-major over (i, j)
+    pp, hi = [], []
+    for i in range(n):
+        prod = a[i:i + 1] * b                       # (n, T) exact u32
+        pp.append((prod & _MASK).astype(jnp.float32))
+        hi.append((prod >> BASE_BITS).astype(jnp.float32))
+    plane = jnp.concatenate(pp + hi, axis=0)        # (2n^2, T)
+    if plane.shape[0] < k_pad:
+        plane = jnp.concatenate(
+            [plane, jnp.zeros((k_pad - plane.shape[0], t), jnp.float32)],
+            axis=0)
+    c_f = jax.lax.dot_general(smat, plane, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    c = c_f[:2 * n].astype(jnp.uint32)              # exact: sums < 2^22.7
+
+    # per-column bounds of the diag-sum (same derivation as kmul)
+    lo_max, hi_max = LIMB_MASK, (_U32_LIM - 1) >> BASE_BITS
+    bounds = []
+    for k in range(2 * n):
+        n_lo = max(0, min(k, n - 1) - max(0, k - n + 1) + 1)
+        n_hi = max(0, min(k - 1, n - 1) - max(0, k - n) + 1)
+        bounds.append(n_lo * lo_max + n_hi * hi_max + 1)
+
+    # fold the tail via the piece matmul
+    tail = c[n:]
+    tail_bound = max(bounds[n:])
+    assert tail_bound <= 1 << (MXU_PIECE_BITS * MXU_N_PIECES), tail_bound
+    pieces = [((tail >> (MXU_PIECE_BITS * q)) & ((1 << MXU_PIECE_BITS) - 1)
+               ).astype(jnp.float32) for q in range(MXU_N_PIECES)]
+    pvec = jnp.concatenate(pieces, axis=0)          # (4n, T)
+    if pvec.shape[0] < f_pad:
+        pvec = jnp.concatenate(
+            [pvec, jnp.zeros((f_pad - pvec.shape[0], t), jnp.float32)],
+            axis=0)
+    g_f = jax.lax.dot_general(fmat, pvec, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    g = g_f[:2 * n].astype(jnp.uint32)              # sums < 2^20.7, exact
+    out = c[:n] + g[:n] + (g[n:2 * n] << 8)
+    # bounds: head + lo-byte sums + hi-byte sums << 8
+    gmax = MXU_N_PIECES * n * ((1 << MXU_PIECE_BITS) - 1)
+    out_bounds = [bounds[k] + gmax * 255 + ((gmax * 127) << 8)
+                  for k in range(n)]
+    assert all(bv < _U32_LIM for bv in out_bounds), out_bounds
+    return _normalize_k(out, out_bounds, spec, ft)
+
+
 def neg2_col(spec: FieldSpec) -> np.ndarray:
     """(N, 1) column of 2*neg_helper for passing into kernels."""
     return (spec.neg_helper.astype(np.uint32) * 2)[:, None]

@@ -614,43 +614,65 @@ def accumulate_pass_pallas(curve: CurveSpec, c: int, cap: int, px, py,
 # ---------------------------------------------------------------------------
 
 
-def _te_madd_body(curve: CurveSpec, x, y, z, t, yp, ym, kt_c, ft, neg2):
+def _te_madd_body(curve: CurveSpec, x, y, z, t, yp, ym, kt_c, ft, neg2,
+                  kmul_fn=None):
     """madd-2008-hwcd-3 (a=-1): acc (x,y,z,t) + precomp (yp, ym, kt).
     `kt_c` is the already-sign/validity-adjusted C = T1*kT2 term; yp/ym are
     already sign-swapped / identity-selected.  7 kmul total (C's mul happens
-    in the caller so sign handling can ride on the product)."""
+    in the caller so sign handling can ride on the product).  `kmul_fn`
+    overrides the multiply (e.g. the MXU form)."""
     f = curve.field
-    a = fk.kmul(f, fk.ksub(f, y, x, ft, neg2), ym, ft)
-    b = fk.kmul(f, fk.kadd(f, y, x, ft), yp, ft)
+    km = kmul_fn or (lambda u, v: fk.kmul(f, u, v, ft))
+    a = km(fk.ksub(f, y, x, ft, neg2), ym)
+    b = km(fk.kadd(f, y, x, ft), yp)
     d = fk.kadd(f, z, z, ft)
     e = fk.ksub(f, b, a, ft, neg2)
     ff_ = fk.ksub(f, d, kt_c, ft, neg2)
     g = fk.kadd(f, d, kt_c, ft)
     h = fk.kadd(f, b, a, ft)
-    return (fk.kmul(f, e, ff_, ft), fk.kmul(f, g, h, ft),
-            fk.kmul(f, ff_, g, ft), fk.kmul(f, e, h, ft))
+    return (km(e, ff_), km(g, h), km(ff_, g), km(e, h))
+
+
+def _mxu_enabled() -> bool:
+    """Route the kernel multiplies through the MXU matmul form
+    (`fp_kernel.kmul_mxu`); env A/B knob."""
+    import os
+    return os.environ.get("ZPRIZE_KMUL", "mxu") == "mxu"
 
 
 @functools.lru_cache(maxsize=None)
 def make_te_mixed_add(curve: CurveSpec, n_lanes: int, tile: int,
-                      interpret: bool = False):
+                      interpret: bool = False, use_mxu: bool | None = None):
     """fn(x, y, z, t, rows, mask) -> (x, y, z, t).
 
     rows: (3h_pad, n_lanes) u32 — the gathered u16-PACKED precomputed
     planes (h = ceil(L/2) words each of Y+X, Y-X, 2d·XY; see
     `te_path.pack_u16`).  mask: (1, n_lanes) u32, bit0 = valid,
     bit1 = digit sign.  Unpack + sign/identity selection happen in-kernel
-    so the HBM gather stays one ~160B contiguous row per lane."""
+    so the HBM gather stays one ~160B contiguous row per lane.
+    `use_mxu` routes the 7 multiplies through the exact-f32 MXU form."""
     f = curve.field
     n = f.n_limbs
     h = (n + 1) // 2
     rows_n = 3 * h + (-3 * h) % 8      # sublane-pad the packed rows to 8
     assert n_lanes % tile == 0
+    if use_mxu is None:
+        use_mxu = _mxu_enabled()
+    if use_mxu:
+        smat_np, fmat_np, _, _ = fk.mxu_tables(f)
 
-    def kernel(ft_ref, neg2_ref, rows_ref, mask_ref,
-               x_ref, y_ref, z_ref, t_ref,
-               ox_ref, oy_ref, oz_ref, ot_ref):
+    def kernel(*refs):
+        # refs = (ft, neg2, rows, mask, x, y, z, t, [smat, fmat],
+        #         ox, oy, oz, ot) — pallas passes all inputs, then outputs
+        (ft_ref, neg2_ref, rows_ref, mask_ref,
+         x_ref, y_ref, z_ref, t_ref) = refs[:8]
+        ox_ref, oy_ref, oz_ref, ot_ref = refs[-4:]
         ft, neg2 = ft_ref[...], neg2_ref[...]
+        if use_mxu:
+            smat, fmat = refs[8][...], refs[9][...]
+            km = lambda u, v: fk.kmul_mxu(f, u, v, smat, fmat, ft)
+        else:
+            km = None
         rows = rows_ref[...]
         m = mask_ref[...]                       # (1, T)
         valid = (m & 1) != 0
@@ -670,11 +692,12 @@ def make_te_mixed_add(curve: CurveSpec, n_lanes: int, tile: int,
                == 0).astype(jnp.uint32)
         yp = jnp.where(valid, yp, one)
         ym = jnp.where(valid, ym, one)
-        c = fk.kmul(f, t_ref[...], kt, ft)
+        c = km(t_ref[...], kt) if km else fk.kmul(f, t_ref[...], kt, ft)
         c = jnp.where(sign, fk.kneg(f, c, ft, neg2), c)
         c = jnp.where(valid, c, jnp.zeros_like(c))
         x, y, z, t = _te_madd_body(curve, x_ref[...], y_ref[...], z_ref[...],
-                                   t_ref[...], yp, ym, c, ft, neg2)
+                                   t_ref[...], yp, ym, c, ft, neg2,
+                                   kmul_fn=km)
         ox_ref[...] = x
         oy_ref[...] = y
         oz_ref[...] = z
@@ -690,11 +713,19 @@ def make_te_mixed_add(curve: CurveSpec, n_lanes: int, tile: int,
                            memory_space=pltpu.VMEM)
     neg2_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
+    in_specs = [ft_spec, neg2_spec, rows_spec, mask_spec,
+                lane_spec, lane_spec, lane_spec, lane_spec]
+    if use_mxu:
+        in_specs += [
+            pl.BlockSpec(smat_np.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(fmat_np.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     call = pl.pallas_call(
         kernel,
         grid=(n_lanes // tile,),
-        in_specs=[ft_spec, neg2_spec, rows_spec, mask_spec,
-                  lane_spec, lane_spec, lane_spec, lane_spec],
+        in_specs=in_specs,
         out_specs=(lane_spec, lane_spec, lane_spec, lane_spec),
         out_shape=tuple(jax.ShapeDtypeStruct((n, n_lanes), jnp.uint32)
                         for _ in range(4)),
@@ -704,53 +735,67 @@ def make_te_mixed_add(curve: CurveSpec, n_lanes: int, tile: int,
     ft_np, neg2_np = fk.fold_table_t(f), fk.neg2_col(f)
 
     def fn(x, y, z, t, rows, mask):
+        extra = ((jnp.asarray(smat_np), jnp.asarray(fmat_np))
+                 if use_mxu else ())
         return call(jnp.asarray(ft_np), jnp.asarray(neg2_np),
-                    rows, mask, x, y, z, t)
+                    rows, mask, x, y, z, t, *extra)
 
     return fn
 
 
 def _te_full_add_body(curve: CurveSpec, x1, y1, z1, t1, x2, y2, z2, t2,
-                      skip_mask, ft, neg2, kcol):
+                      skip_mask, ft, neg2, kcol, kmul_fn=None):
     """add-2008-hwcd-3 (a=-1) full add: 9 kmul (one against the constant
     2d column `kcol` (N, 1)); skip lanes pass operand 1 through."""
     f = curve.field
-    a = fk.kmul(f, fk.ksub(f, y1, x1, ft, neg2),
-                fk.ksub(f, y2, x2, ft, neg2), ft)
-    b = fk.kmul(f, fk.kadd(f, y1, x1, ft),
-                fk.kadd(f, y2, x2, ft), ft)
-    c = fk.kmul(f, fk.kmul(f, t1, t2, ft), kcol, ft)
-    zz = fk.kmul(f, z1, z2, ft)
+    km = kmul_fn or (lambda u, v: fk.kmul(f, u, v, ft))
+    a = km(fk.ksub(f, y1, x1, ft, neg2), fk.ksub(f, y2, x2, ft, neg2))
+    b = km(fk.kadd(f, y1, x1, ft), fk.kadd(f, y2, x2, ft))
+    c = km(km(t1, t2), jnp.broadcast_to(kcol, t1.shape))
+    zz = km(z1, z2)
     d = fk.kadd(f, zz, zz, ft)
     e = fk.ksub(f, b, a, ft, neg2)
     ff_ = fk.ksub(f, d, c, ft, neg2)
     g = fk.kadd(f, d, c, ft)
     h = fk.kadd(f, b, a, ft)
-    x3 = fk.kmul(f, e, ff_, ft)
-    y3 = fk.kmul(f, g, h, ft)
-    z3 = fk.kmul(f, ff_, g, ft)
-    t3 = fk.kmul(f, e, h, ft)
+    x3 = km(e, ff_)
+    y3 = km(g, h)
+    z3 = km(ff_, g)
+    t3 = km(e, h)
     sel = lambda new, old: jnp.where(skip_mask != 0, old, new)
     return sel(x3, x1), sel(y3, y1), sel(z3, z1), sel(t3, t1)
 
 
 @functools.lru_cache(maxsize=None)
 def make_te_full_add(curve: CurveSpec, n_lanes: int, tile: int,
-                     interpret: bool = False):
-    """fn(x1,y1,z1,t1, x2,y2,z2,t2, skip) -> (x,y,z,t); limb-major planes."""
+                     interpret: bool = False, use_mxu: bool | None = None):
+    """fn(x1,y1,z1,t1, x2,y2,z2,t2, skip) -> (x,y,z,t); limb-major planes.
+    `use_mxu` routes the 9 multiplies through the exact-f32 MXU form."""
     from ..curve import te as te_mod
     f = curve.field
     n = f.n_limbs
     assert n_lanes % tile == 0
     k_int = te_mod.te_params(curve).k
+    if use_mxu is None:
+        use_mxu = _mxu_enabled()
+    if use_mxu:
+        smat_np, fmat_np, _, _ = fk.mxu_tables(f)
 
-    def kernel(ft_ref, neg2_ref, kcol_ref, x2_ref, y2_ref, z2_ref, t2_ref,
-               skip_ref, x_ref, y_ref, z_ref, t_ref,
-               ox_ref, oy_ref, oz_ref, ot_ref):
+    def kernel(*refs):
+        (ft_ref, neg2_ref, kcol_ref, x2_ref, y2_ref, z2_ref, t2_ref,
+         skip_ref, x_ref, y_ref, z_ref, t_ref) = refs[:12]
+        ox_ref, oy_ref, oz_ref, ot_ref = refs[-4:]
+        if use_mxu:
+            smat, fmat = refs[12][...], refs[13][...]
+            ftv = ft_ref[...]
+            km = lambda u, v: fk.kmul_mxu(f, u, v, smat, fmat, ftv)
+        else:
+            km = None
         x, y, z, t = _te_full_add_body(
             curve, x_ref[...], y_ref[...], z_ref[...], t_ref[...],
             x2_ref[...], y2_ref[...], z2_ref[...], t2_ref[...],
-            skip_ref[...], ft_ref[...], neg2_ref[...], kcol_ref[...])
+            skip_ref[...], ft_ref[...], neg2_ref[...], kcol_ref[...],
+            kmul_fn=km)
         ox_ref[...] = x
         oy_ref[...] = y
         oz_ref[...] = z
@@ -764,12 +809,20 @@ def make_te_full_add(curve: CurveSpec, n_lanes: int, tile: int,
                            memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
+    in_specs = [ft_spec, neg2_spec := col_spec, col_spec,
+                lane_spec, lane_spec, lane_spec, lane_spec, mask_spec,
+                lane_spec, lane_spec, lane_spec, lane_spec]
+    if use_mxu:
+        in_specs += [
+            pl.BlockSpec(smat_np.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(fmat_np.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     call = pl.pallas_call(
         kernel,
         grid=(n_lanes // tile,),
-        in_specs=[ft_spec, neg2_spec := col_spec, col_spec,
-                  lane_spec, lane_spec, lane_spec, lane_spec, mask_spec,
-                  lane_spec, lane_spec, lane_spec, lane_spec],
+        in_specs=in_specs,
         out_specs=(lane_spec, lane_spec, lane_spec, lane_spec),
         out_shape=tuple(jax.ShapeDtypeStruct((n, n_lanes), jnp.uint32)
                         for _ in range(4)),
@@ -780,9 +833,11 @@ def make_te_full_add(curve: CurveSpec, n_lanes: int, tile: int,
     kcol_np = np.asarray(limbs_from_int(k_int, n), np.uint32)[:, None]
 
     def fn(x1, y1, z1, t1, x2, y2, z2, t2, skip):
+        extra = ((jnp.asarray(smat_np), jnp.asarray(fmat_np))
+                 if use_mxu else ())
         return call(jnp.asarray(ft_np), jnp.asarray(neg2_np),
                     jnp.asarray(kcol_np), x2, y2, z2, t2, skip,
-                    x1, y1, z1, t1)
+                    x1, y1, z1, t1, *extra)
 
     return fn
 
@@ -859,6 +914,54 @@ def accumulate_te_pallas(curve: CurveSpec, c: int, cap: int, packed,
     out = tuple(a[:, inv] for a in acc)
     return te_mod.TePoint(
         *(o.T[:lanes].reshape(n_win, n_buckets_eff, nl) for o in out))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def merge_te_triangle_pallas(curve: CurveSpec, c: int, interpret: bool,
+                             bucket_sums):
+    """Pallas form of `te_path.merge_buckets_te_triangle` (chunked
+    running-sum bucket reduction, ~6x less add work than the
+    bit-decomposition at B=2^14).  The S sequential steps run two chained
+    full-add kernels over all W*C chunk lanes; the tiny (W, C) tail
+    (chunk-total weighting + final fold) stays in XLA form."""
+    from ..curve import te as te_mod
+    from . import te_path
+    n_win, n_buckets = bucket_sums.x.shape[:2]
+    split = te_path.triangle_split(n_win, n_buckets)
+    assert split is not None, (n_win, n_buckets)
+    c_lanes, s = split
+    lanes = n_win * c_lanes
+    tile = 512 if lanes % 512 == 0 else 128
+    nl = curve.field.n_limbs
+    add_fn = make_te_full_add(curve, lanes, tile, interpret)
+
+    # (W, B, nl) -> (nl, W*C, S) limb-major with flat bucket b-1 = q*S + j
+    planes = [jnp.moveaxis(a, -1, 0).reshape(nl, lanes, s)
+              for a in bucket_sums]
+    zero_skip = jnp.zeros((1, lanes), jnp.uint32)
+
+    def body(k, acc):
+        j = s - 1 - k
+        a_s, a_u = acc
+        q = [pl[:, :, j] for pl in planes]
+        a_s = add_fn(a_s[0], a_s[1], a_s[2], a_s[3], *q, zero_skip)
+        a_u = add_fn(a_u[0], a_u[1], a_u[2], a_u[3], *a_s, zero_skip)
+        return (a_s, a_u)
+
+    one = jnp.broadcast_to(
+        jnp.asarray(limbs_from_int(1, nl))[:, None], (nl, lanes))
+    ident = (jnp.zeros((nl, lanes), jnp.uint32), one, one,
+             jnp.zeros((nl, lanes), jnp.uint32))
+    acc_s, acc_u = jax.lax.fori_loop(0, s, body, (ident, ident))
+    t_q = te_mod.TePoint(*(a.T.reshape(n_win, c_lanes, nl) for a in acc_s))
+    u_q = te_mod.TePoint(*(a.T.reshape(n_win, c_lanes, nl) for a in acc_u))
+    u_tot = te_path.sum_axis(curve, u_q, 1)
+    v = jax.vmap(functools.partial(te_path._merge_core_te, curve))(
+        te_mod.TePoint(*(a[:, 1:] for a in t_q)))
+    sv = jax.lax.fori_loop(
+        0, s.bit_length() - 1,
+        lambda _, a: tuple(te_mod.dbl(curve, te_mod.TePoint(*a))), tuple(v))
+    return te_mod.add(curve, u_tot, te_mod.TePoint(*sv))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))

@@ -94,11 +94,20 @@ def _bucket_counts_core(c: int, digits_w: jax.Array):
 
     One `lax.sort` carries the index payload along with the keys — the
     argsort-then-gather formulation pays a second full-array gather for
-    `b[perm]` (measured 5x the sort itself on v5e)."""
+    `b[perm]` (measured 5x the sort itself on v5e).  `ZPRIZE_SORT=u64`
+    packs (bucket << 32 | index) into one u64 key instead (A/B knob)."""
+    import os
     b = jnp.abs(digits_w)
-    iota = jax.lax.iota(jnp.int32, b.shape[0])
-    sorted_b, perm = jax.lax.sort((b, iota), num_keys=1, is_stable=True)
     n_buckets = (1 << (c - 1)) + 1
+    if os.environ.get("ZPRIZE_SORT") == "u64":
+        iota64 = jax.lax.iota(jnp.uint64, b.shape[0])
+        key = (b.astype(jnp.uint64) << 32) | iota64
+        skey = jax.lax.sort(key)
+        perm = skey.astype(jnp.uint32).astype(jnp.int32)
+        sorted_b = (skey >> 32).astype(jnp.int32)
+    else:
+        iota = jax.lax.iota(jnp.int32, b.shape[0])
+        sorted_b, perm = jax.lax.sort((b, iota), num_keys=1, is_stable=True)
     starts = jnp.searchsorted(sorted_b, jnp.arange(n_buckets, dtype=sorted_b.dtype))
     ends = jnp.searchsorted(sorted_b, jnp.arange(n_buckets, dtype=sorted_b.dtype),
                             side="right")
@@ -247,8 +256,15 @@ def plan_collapse(curve: CurveSpec, n: int, c: int | None = None,
         m = min(m_cap, w)
         g = -(-w // m)
         m = -(-w // g)  # shrink m back to what g actually needs
-        bits = max(1, (1 << (cc - 1)).bit_length())
-        cost = w * n + g * bits * (1 << (cc - 1)) * 8 / 7.0
+        nbe = 1 << (cc - 1)
+        from . import te_path
+        if te_path.triangle_split(g, nbe) is not None:
+            # triangle merge: 2 full adds per bucket (9M vs the mixed 7M)
+            merge = g * 2.6 * nbe
+        else:
+            bits = max(1, nbe.bit_length())
+            merge = g * bits * nbe * 8 / 7.0
+        cost = w * n + merge
         if best is None or cost < best[0]:
             best = (cost, cc, g, m)
     return best[1], best[2], best[3]
@@ -275,12 +291,37 @@ def prepare_points(curve: CurveSpec, points: sw.Affine,
     else:
         c = c or default_window_bits(n)
         g, m = num_windows(curve, c), 1
+    # Chunked preparation: one fused convert graph holds ~14 live (B, L)
+    # temporaries (batch_inv tree + TE transform) — at 2^24 points that is
+    # ~28 GB of HLO temps, so blocks cap the working set (and every block
+    # reuses one compiled shape).
+    # default block 2^18: the m~18-multiple doubling-chain scan holds ~7 GB
+    # of HLO temps per 2^18 block (measured: 28.6 GB at one 2^20 block)
+    block = min(n, 1 << int(os.environ.get("ZPRIZE_PREP_BLOCK_LOG", "18")))
+    packs, bads = [], []
+    for lo in range(0, n, block):
+        hi = min(n, lo + block)
+        px, py, pinf = (points.x[lo:hi], points.y[lo:hi], points.inf[lo:hi])
+        if m > 1:
+            pk_b, bad_b = te_path.prepare_points_collapsed(
+                curve, px, py, pinf, c * g, m)
+            pk_b = pk_b.reshape(m, hi - lo, pk_b.shape[-1])
+        else:
+            pk_b, bad_b = te_path.prepare_points(curve, px, py, pinf)
+        if hi - lo < n:
+            # force completion before enqueueing the next chunk: the async
+            # dispatch queue would otherwise hold every chunk's HLO temps
+            # live at once (OOM at 2^24); device_get, not block_until_ready
+            # (the latter does not await remote execution on axon)
+            jax.device_get(bad_b)
+        packs.append(pk_b)
+        bads.append(bad_b)
     if m > 1:
-        packed, bad = te_path.prepare_points_collapsed(
-            curve, points.x, points.y, points.inf, c * g, m)
+        packed = jnp.concatenate(packs, axis=1).reshape(
+            m * n, packs[0].shape[-1])
     else:
-        packed, bad = te_path.prepare_points(curve, points.x, points.y,
-                                             points.inf)
+        packed = packs[0] if len(packs) == 1 else jnp.concatenate(packs)
+    bad = jnp.any(jnp.stack(bads))
     if bool(np.asarray(jax.device_get(bad))):
         raise ValueError(
             "input contains exceptional points with no twisted-Edwards "
@@ -301,10 +342,12 @@ def msm(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
     rectangle passes (from one max-occupancy scalar); all heavy stages are
     jitted with static shapes.
     """
-    n = points.x.shape[0]
     te_on = _te_enabled(curve)
     if te_on and prepared is None:
         prepared = prepare_points(curve, points, c)
+    # the TE path never touches points.x/.y (only .inf): callers at 2^24+
+    # may pass truncated affine planes to free ~GBs of HBM
+    n = prepared.n if prepared is not None else points.x.shape[0]
     if prepared is not None:
         c = prepared.c
     elif c is None:
@@ -456,9 +499,10 @@ def _digits_grouped_te(curve: CurveSpec, c: int, cspec, gspec, scalars, inf):
 def _msm_te_device(curve: CurveSpec, c: int, gspec, tiers_spec,
                    use_pallas: bool, packed, digits, perm, starts, counts):
     """Dispatch 2 of the TE MSM: tiered accumulate + bucket merge + window
-    combine + TE->SW conversion, one fused graph (the per-stage dispatch
-    floor through the remote tunnel is ~30 ms — a 10-dispatch MSM pays it
-    ten times)."""
+    combine, one fused graph (the per-stage dispatch floor through the
+    remote tunnel is ~30 ms — a 10-dispatch MSM pays it ten times).
+    Returns the combined result as a TE extended point; the caller converts
+    on the host."""
     from ..curve import te
     from . import te_path
     n_win = digits.shape[0]
@@ -473,26 +517,40 @@ def _msm_te_device(curve: CurveSpec, c: int, gspec, tiers_spec,
         depth = max(1, tiers[-1])
         if use_pallas:
             from .accum_kernel import (accumulate_te_pallas,
-                                       merge_buckets_te_pallas)
+                                       merge_buckets_te_pallas,
+                                       merge_te_triangle_pallas)
             sums = accumulate_te_pallas(curve, c, depth, packed, d_g, p_g,
                                         s_g, c_g, nbe, tier_depths=tiers)
             n_bits = max(1, nbe.bit_length())
             lane_count = len(ws) * n_bits * min(nbe, 128)
-            if len(ws) * nbe * n_bits >= 4096 and lane_count % 128 == 0:
+            if te_path.triangle_split(len(ws), nbe) is not None:
+                merged = merge_te_triangle_pallas(curve, c, False, sums)
+            elif len(ws) * nbe * n_bits >= 4096 and lane_count % 128 == 0:
                 merged = merge_buckets_te_pallas(curve, c, False, sums)
             else:
                 merged = te_path.merge_buckets_te(curve, c, sums)
         else:
             sums = te_path.accumulate_te(curve, c, depth, packed, d_g, p_g,
                                          s_g, c_g, nbe)
-            merged = te_path.merge_buckets_te(curve, c, sums)
+            if te_path.triangle_split(len(ws), nbe) is not None:
+                merged = te_path.merge_buckets_te_triangle(curve, c, sums)
+            else:
+                merged = te_path.merge_buckets_te(curve, c, sums)
         for k, w in enumerate(ws):
             window_sums[w] = te.TePoint(*(a[k] for a in merged))
 
     stacked = te.TePoint(*(jnp.stack([getattr(p, f)
                                       for p in window_sums])
                            for f in ("x", "y", "z", "t")))
-    return te_path.finish_te(curve, c, stacked)
+    # window combine on device; the final TE->SW conversion happens on the
+    # HOST (te.te_to_sw_host): its two Fermat ladders are pure latency for
+    # a single lane (~100 ms measured through the remote dispatch path).
+    # Canonicalize IN-GRAPH: an eager to_canonical on the host would pay the
+    # ~30 ms remote-dispatch floor for every one of its ~100 tiny ops.
+    combined = te_path._combine_core_te(curve, c, stacked)
+    f = curve.field
+    return tuple(fp.to_canonical(f, a) for a in
+                 (combined.x, combined.y, combined.z))
 
 
 def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
@@ -520,8 +578,17 @@ def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
             tiers_spec.append(tier_schedule(desc_np))
         else:
             tiers_spec.append((max(1, int(desc_np[0])),))
-    return _msm_te_device(curve, c, gspec, tuple(tiers_spec), use_pallas,
-                          prepared.packed, digits, perm, starts, counts)
+    res_can = _msm_te_device(curve, c, gspec, tuple(tiers_spec), use_pallas,
+                             prepared.packed, digits, perm, starts, counts)
+    # single-point TE->SW on the host (exact; see te.te_to_sw_host)
+    from ..curve import te
+    from ..field.spec import int_from_limbs
+    f = curve.field
+    xi, yi, zi = (int_from_limbs(np.asarray(jax.device_get(a)))
+                  for a in res_can)
+    sx, sy, sz = te.te_to_sw_host(curve, xi, yi, zi)
+    return sw.Point(fp.from_ints(f, [sx])[0], fp.from_ints(f, [sy])[0],
+                    fp.from_ints(f, [sz])[0])
 
 
 def msm_jit_static(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
@@ -547,7 +614,18 @@ def msm_jit_static(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
     # digits into few buckets (far above any occupancy heuristic), so they
     # get narrow rectangles at FULL depth (cheap: nbe is small) while the
     # uniform full-width group uses the static `cap_total` budget.
-    groups = _window_groups(curve, c, n_win, full_nbe)
+    # Collapsed to at most TWO groups (full-width + one shared narrow
+    # rectangle): each group instantiates its own accumulate/merge graph,
+    # and this function is compiled inside larger pipelines where XLA:CPU
+    # compile time scales with the unroll.
+    fine = _window_groups(curve, c, n_win, full_nbe)
+    groups: dict[int, list[int]] = {}
+    narrow = [(nbe, ws) for nbe, ws in fine.items() if nbe != full_nbe]
+    if full_nbe in fine:
+        groups[full_nbe] = fine[full_nbe]
+    if narrow:
+        nbe_max = max(nbe for nbe, _ in narrow)
+        groups[nbe_max] = sorted(w for _, ws in narrow for w in ws)
     window_sums: list = [None] * n_win
     for nbe, ws in sorted(groups.items(), reverse=True):
         jw = jnp.asarray(np.asarray(ws))

@@ -212,6 +212,67 @@ def merge_buckets_te(curve: CurveSpec, c: int, bucket_sums: te.TePoint
     return jax.vmap(functools.partial(_merge_core_te, curve))(bucket_sums)
 
 
+def triangle_split(n_win: int, n_buckets: int,
+                   target_lanes: int = 4096) -> tuple[int, int] | None:
+    """Pick the (chunks C, chunk size S) split for the triangle merge:
+    C lanes wide (pow2, >=128 so kernel tiles align), S = B/C sequential
+    steps.  None if the bucket range is too small to be worth it."""
+    if n_buckets < 1024:
+        return None
+    c_lanes = 128
+    while (c_lanes * 2 <= n_buckets // 8
+           and n_win * c_lanes * 2 <= target_lanes):
+        c_lanes *= 2
+    s = n_buckets // c_lanes
+    if s < 8:
+        return None
+    return c_lanes, s
+
+
+def merge_buckets_te_triangle(curve: CurveSpec, c: int,
+                              bucket_sums: te.TePoint) -> te.TePoint:
+    """sum_b b*B_b via the chunked running-sum (triangle) identity — the
+    lane-parallel form of the sequential bucket reduction every GPU entry
+    runs per-warp (`ReduceBuckets.cu` / `HostReduce.cpp:31-60`):
+
+      b = q*S + (j+1):   sum_b b*B_b = sum_q U_q  +  S * sum_q q*T_q
+      U_q = sum_j (j+1) B_{qS+j+1}   (running suffix, 2 adds/step, S steps,
+                                      all W*C chunk lanes in parallel)
+      T_q = sum_j B_{qS+j+1}
+
+    Work: 2B + C log C adds vs the bit-decomposition's B log B — ~6x fewer
+    at B=2^14 — at the price of S sequential wide steps.  XLA reference
+    form; the Pallas form lives in `accum_kernel.merge_te_triangle_pallas`.
+    """
+    n_win, n_buckets = bucket_sums.x.shape[:2]
+    split = triangle_split(n_win, n_buckets)
+    assert split is not None, (n_win, n_buckets)
+    c_lanes, s = split
+    # bucket b at flat index b-1 -> (chunk q, j) with b-1 = q*S + j
+    planes = [a.reshape(n_win, c_lanes, s, -1) for a in bucket_sums]
+
+    def body(k, acc):
+        j = s - 1 - k
+        acc_s, acc_u = (te.TePoint(*acc[0]), te.TePoint(*acc[1]))
+        q = te.TePoint(*(pl[:, :, j] for pl in planes))
+        acc_s = te.add(curve, acc_s, q)
+        acc_u = te.add(curve, acc_u, acc_s)
+        return (tuple(acc_s), tuple(acc_u))
+
+    ident = te.identity(curve, (n_win, c_lanes))
+    acc_s, acc_u = jax.lax.fori_loop(0, s, body, (tuple(ident),
+                                                  tuple(ident)))
+    t_q = te.TePoint(*acc_s)                       # (W, C) chunk totals
+    u_tot = sum_axis(curve, te.TePoint(*acc_u), 1)  # (W,)
+    # V = sum_q q*T_q (coefficients 0..C-1; chunk 0 contributes nothing)
+    v = jax.vmap(functools.partial(_merge_core_te, curve))(
+        te.TePoint(*(a[:, 1:] for a in t_q)))
+    sv = jax.lax.fori_loop(
+        0, s.bit_length() - 1,
+        lambda _, a: tuple(te.dbl(curve, te.TePoint(*a))), tuple(v))
+    return te.add(curve, u_tot, te.TePoint(*sv))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def combine_windows_te(curve: CurveSpec, c: int, window_sums: te.TePoint
                        ) -> te.TePoint:
