@@ -9,6 +9,9 @@ Env knobs (reference conventions, `yrrid/tests/msm.rs:13-22`):
   BENCH_NPOW  (default 16)  log2 of the MSM size
   MSM_SEED    (default 42)
   BENCH_WINDOW (default auto)
+  BENCH_PROFILE=<dir>  capture a jax.profiler trace of the steady-state
+  iterations (the role of the reference's nvprof/CUDA-event instrumentation,
+  `MSM.cu:496-500`; per-phase wall timers live in scripts/profile_msm_te.py)
 Points are generated once via the reference's clone-extension trick
 (`yrrid/src/util.rs:15-29`): a small seeded base set, tiled to size.
 """
@@ -84,12 +87,95 @@ def bench_ntt():
                       "vs_baseline": 2.47 / dt}))
 
 
+def bench_plonk():
+    """Tertiary metric: PLONK prover ns/constraint on the reference's
+    Merkle-membership workload (`winderica/distributed/src/circuit.rs:676-703`
+    shape, scaled to one chip).  Baseline: winderica's single-node
+    TurboPlonk at 29,591 ns/constraint (`winderica/bench.md:13-17`)."""
+    import random as _rnd
+
+    import jax
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from zprize_tpu.curve.spec import BLS12_377_G1
+    from zprize_tpu.field import fp
+    from zprize_tpu.field.spec import BLS12_377_FR
+    from zprize_tpu.hash import merkle
+    from zprize_tpu.hash.grain import snarkvm_config
+    from zprize_tpu.pcs import kzg
+    from zprize_tpu.plonk import prover as plonk_prover
+    from zprize_tpu.plonk import verifier as plonk_verifier
+    from zprize_tpu.plonk.gadgets import generate_membership_circuit
+
+    curve, fr = BLS12_377_G1, BLS12_377_FR
+    cfg = snarkvm_config(fr, 2)
+    n_proofs = int(os.environ.get("BENCH_PLONK_PROOFS", "16"))
+    height = int(os.environ.get("BENCH_PLONK_HEIGHT", "8"))
+    rng = _rnd.Random(17)
+
+    t0 = time.time()
+    cb, handles, indices = generate_membership_circuit(cfg, n_proofs, height)
+    leaves_int = [rng.randrange(fr.p) for _ in range(1 << height)]
+    levels = merkle.build_tree(cfg, fp.from_ints(fr, leaves_int))
+    root = int(fp.to_ints(fr, merkle.root(levels))[()])
+    assignment = {}
+    for (leaf_var, sib_vars), idx in zip(handles, indices):
+        path = merkle.prove(levels, idx)
+        assignment[leaf_var] = leaves_int[idx]
+        for sv, (sib, _) in zip(sib_vars, path):
+            assignment[sv] = int(fp.to_ints(fr, sib)[()])
+    assignment = cb.compute_witness(assignment)
+    cc = cb.compile()
+    public = [root] * n_proofs
+    log(f"plonk: membership workload, {n_proofs} proofs x height {height} "
+        f"-> n = {cc.n} constraints (built in {time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    srs = kzg.setup_test_srs(curve, cc.n + 8, seed=3)
+    pk, vk = plonk_prover.setup(curve, cc, srs)
+    w_ints = cc.wire_values(assignment)
+    wires = fp.from_ints(fr, w_ints.tolist())
+    log(f"keygen + witness planes (untimed init): {time.time()-t0:.1f}s")
+
+    def run():
+        proof = plonk_prover.prove_planes(pk, wires, public,
+                                          blinding_rng=rng)
+        jax.device_get(proof.w_zeta_omega.z.ravel()[0])
+        return proof
+
+    t0 = time.time()
+    proof = run()
+    log(f"first proof (incl. compile): {time.time()-t0:.1f}s")
+    ok = plonk_verifier.verify(vk, srs, proof, public)
+    if not ok:
+        log("PROOF DID NOT VERIFY — benchmark invalid")
+        print(json.dumps({"metric": f"plonk_ns_per_constraint_n{cc.n}",
+                          "value": 0.0, "unit": "ns/constraint",
+                          "vs_baseline": 0.0, "error": "verify failed"}))
+        return
+    log("proof verified")
+
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    t0 = time.time()
+    for _ in range(iters):
+        run()
+    dt = (time.time() - t0) / iters
+    ns_per = dt / cc.n * 1e9
+    log(f"steady-state: {dt:.2f} s per proof -> {ns_per:.0f} ns/constraint")
+    print(json.dumps({"metric": f"plonk_ns_per_constraint_n{cc.n}",
+                      "value": ns_per, "unit": "ns/constraint",
+                      "vs_baseline": 29591.0 / ns_per}))
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/zprize_tpu_jax_cache_tpu")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-    if os.environ.get("BENCH_METRIC", "msm") == "ntt":
+    metric = os.environ.get("BENCH_METRIC", "msm")
+    if metric == "ntt":
         bench_ntt()
+        return
+    if metric == "plonk":
+        bench_plonk()
         return
     npow = int(os.environ.get("BENCH_NPOW", "18"))
     seed = int(os.environ.get("MSM_SEED", "42"))
@@ -148,6 +234,10 @@ def main():
         c = prepared.c
         log(f"prepared: c={c} G={prepared.g} m={prepared.m} "
             f"table={prepared.packed.nbytes / 1e9:.2f} GB")
+        # the TE path reads only points.inf — free the affine planes
+        # (≈3.5 GB at 2^24) for the MSM working set
+        points = sw.Affine(px[:1], py[:1], pinf)
+        del px, py
     elif c is None:
         c = pippenger.default_window_bits(n)
     log(f"point preprocessing (untimed init): {time.time()-t0:.1f}s")
@@ -182,10 +272,15 @@ def main():
     log("result verified against host oracle")
 
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    prof_dir = os.environ.get("BENCH_PROFILE")
+    import contextlib
+    prof = (jax.profiler.trace(prof_dir) if prof_dir
+            else contextlib.nullcontext())
     t0 = time.time()
-    for _ in range(iters):
-        res = pippenger.msm(curve, points, s, c=c, prepared=prepared)
-        sync(res)
+    with prof:
+        for _ in range(iters):
+            res = pippenger.msm(curve, points, s, c=c, prepared=prepared)
+            sync(res)
     dt = (time.time() - t0) / iters
     pts_per_s = n / dt
     log(f"steady-state: {dt*1e3:.1f} ms per MSM -> {pts_per_s:.3e} points/s")

@@ -1,0 +1,26 @@
+#!/bin/bash
+# Sequential TPU measurement sweep (single chip — never run two TPU
+# processes concurrently).  Appends to $LOG; sections marked with @@@.
+set -u
+LOG=${LOG:-/tmp/tpu_sweep.log}
+cd "$(dirname "$0")/.."
+
+run() {
+  local name=$1 tmo=$2
+  shift 2
+  echo "@@@ $name  $(date -u +%H:%M:%S)" >> "$LOG"
+  timeout "$tmo" "$@" >> "$LOG" 2>&1
+  echo "@@@ $name rc=$? $(date -u +%H:%M:%S)" >> "$LOG"
+}
+
+run "kernel-microbench-mxu" 1800 env ZPRIZE_KMUL=mxu python scripts/microbench_te_kernel.py
+run "kernel-microbench-vpu" 1800 env ZPRIZE_KMUL=vpu python scripts/microbench_te_kernel.py
+run "msm-2^18" 2400 python bench.py
+run "msm-2^18-vpu" 2400 env ZPRIZE_KMUL=vpu python bench.py
+run "msm-2^20" 2700 env BENCH_NPOW=20 python bench.py
+run "msm-2^24" 5400 env BENCH_NPOW=24 python bench.py
+run "profile-msm-2^20" 2400 env BENCH_NPOW=20 python scripts/profile_msm_te.py
+run "ntt-profile" 1800 python scripts/profile_ntt.py
+run "ntt-bench" 1800 env BENCH_METRIC=ntt python bench.py
+run "plonk-bench" 5400 env BENCH_METRIC=plonk python bench.py
+echo "@@@ SWEEP DONE $(date -u +%H:%M:%S)" >> "$LOG"

@@ -58,3 +58,32 @@ def test_srs_roundtrip(tmp_path):
     z = fp.from_ints(CURVE.scalar, [77])[0]
     w, y = kzg.open_at(srs2, coeffs, z)
     assert kzg.verify_with_trapdoor(srs2, com, z, y, w)
+
+
+def test_pk_roundtrip(tmp_path):
+    """keygen once -> save -> load -> prove from the reloaded key; the
+    proof verifies and matches the reference's SliceStorage prove-from-disk
+    flow (`winderica/distributed/src/storage.rs:10-50`)."""
+    from zprize_tpu.plonk import prover as plonk_prover
+    from zprize_tpu.plonk import verifier as plonk_verifier
+    from zprize_tpu.plonk.circuit import CircuitBuilder
+    from zprize_tpu.field.spec import BLS12_377_FR
+
+    cb = CircuitBuilder(BLS12_377_FR)
+    x = cb.new_var()
+    x2 = cb.mul(x, x)
+    out = cb.add_const(x2, 1)
+    cb.public_input(out)
+    cc = cb.compile()
+    srs = kzg.setup_test_srs(CURVE, cc.n + 8, seed=7)
+    pk, vk = plonk_prover.setup(CURVE, cc, srs)
+
+    pk_path = os.path.join(tmp_path, "pk.npz")
+    storage.save_pk(pk_path, pk)
+    pk2 = storage.load_pk(pk_path, srs)
+    assert pk2.circuit.n == cc.n and pk2.circuit.k1 == cc.k1
+
+    assignment = {x: 4, x2: 16, out: 17}
+    proof = plonk_prover.prove(pk2, assignment, [17],
+                               blinding_rng=random.Random(9))
+    assert plonk_verifier.verify(vk, srs, proof, [17])

@@ -67,6 +67,96 @@ def save_srs(path: str, srs: kzg.Srs):
     )
 
 
+class _StoredCircuit:
+    """Light reload-side stand-in for `plonk.circuit.CompiledCircuit`: only
+    what the prover touches after keygen (wire slot map + metadata).  The
+    keygen-once / prove-from-disk split of the reference's `SliceStorage`
+    (`winderica/distributed/src/storage.rs:10-50`)."""
+
+    def __init__(self, spec, n, k1, k2, public_rows, wires):
+        self.spec = spec
+        self.n = n
+        self.k1, self.k2 = k1, k2
+        self.public_rows = list(public_rows)
+        self.wires = wires
+
+    def wire_values(self, assignment: dict[int, int]) -> np.ndarray:
+        out = np.zeros((3, self.n), dtype=object)
+        for col in range(3):
+            for j in range(self.n):
+                out[col, j] = assignment.get(
+                    int(self.wires[col, j]), 0) % self.spec.p
+        return out
+
+
+def save_pk(path: str, pk) -> None:
+    """Persist a PLONK ProvingKey (everything `prove` needs except the SRS,
+    which is stored separately via `save_srs` — pass it to `load_pk`)."""
+    sel_names = sorted(pk.selectors)
+    com_names = sorted(pk.commitments)
+    arrays = {
+        "curve": pk.curve.name,
+        "n": np.int64(pk.circuit.n),
+        "coset_g": _int_to_u64(pk.coset_g),
+        "k1": _int_to_u64(pk.circuit.k1),
+        "k2": _int_to_u64(pk.circuit.k2),
+        "public_rows": np.asarray(pk.circuit.public_rows, np.int64),
+        "wires": np.asarray(pk.circuit.wires, np.int64),
+        "sel_names": np.array(sel_names),
+        "com_names": np.array(com_names),
+        "sigma_coeffs": np.asarray(pk.sigma_coeffs),
+        "sigma_evals": np.asarray(pk.sigma_evals),
+        "id_evals": np.asarray(pk.id_evals),
+    }
+    for name in sel_names:
+        arrays[f"sel_{name}"] = np.asarray(pk.selectors[name])
+    for name in com_names:
+        c = pk.commitments[name]
+        arrays[f"com_{name}"] = np.stack(
+            [np.asarray(c.x), np.asarray(c.y), np.asarray(c.z)])
+    np.savez_compressed(path, **arrays)
+
+
+def load_pk(path: str, srs: "kzg.Srs"):
+    """Reload a ProvingKey next to its SRS; no keygen recomputation (the
+    selector/sigma INTTs and commitment MSMs happen once, at `setup`)."""
+    import jax.numpy as jnp
+
+    from ..curve import sw as sw_mod
+    from ..ntt.domain import Domain
+    from ..plonk import prover as plonk_prover
+
+    data = np.load(path, allow_pickle=False)
+    name = str(data["curve"])
+    curve = next(c for c in ALL_CURVES if c.name == name)
+    fr = curve.scalar
+    n = int(data["n"])
+    circuit = _StoredCircuit(fr, n, _u64_to_int(data["k1"]),
+                             _u64_to_int(data["k2"]),
+                             [int(v) for v in data["public_rows"]],
+                             np.asarray(data["wires"], np.int64))
+    selectors = {str(nm): jnp.asarray(data[f"sel_{nm}"])
+                 for nm in data["sel_names"]}
+    commitments = {}
+    for nm in data["com_names"]:
+        c = data[f"com_{nm}"]
+        commitments[str(nm)] = sw_mod.Point(
+            jnp.asarray(c[0]), jnp.asarray(c[1]), jnp.asarray(c[2]))
+    log_n = n.bit_length() - 1
+    vk = plonk_prover.VerifyingKey(curve, n, circuit.k1, circuit.k2,
+                                   list(circuit.public_rows),
+                                   dict(commitments))
+    return plonk_prover.ProvingKey(
+        curve=curve, circuit=circuit, srs=srs,
+        dom=Domain(fr, log_n), dom4=Domain(fr, log_n + 2),
+        coset_g=_u64_to_int(data["coset_g"]),
+        selectors=selectors,
+        sigma_coeffs=jnp.asarray(data["sigma_coeffs"]),
+        sigma_evals=jnp.asarray(data["sigma_evals"]),
+        id_evals=jnp.asarray(data["id_evals"]),
+        commitments=commitments, vk=vk)
+
+
 def load_srs(path: str, allow_trapdoor: bool = False) -> kzg.Srs:
     import jax.numpy as jnp
     data = np.load(path, allow_pickle=False)
