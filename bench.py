@@ -271,15 +271,22 @@ def main():
         return
     log("result verified against host oracle")
 
+    # steady-state over DISTINCT scalar batches (the reference's batched
+    # workload: 4 x 2^26 over one prepared point set, benches/msm.rs:13-46)
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    batches = [s] + [fp.from_ints(curve.scalar,
+                                  [rng.randrange(curve.order)
+                                   for _ in range(n)])
+                     for _ in range(iters - 1)]
     prof_dir = os.environ.get("BENCH_PROFILE")
     import contextlib
     prof = (jax.profiler.trace(prof_dir) if prof_dir
             else contextlib.nullcontext())
     t0 = time.time()
     with prof:
-        for _ in range(iters):
-            res = pippenger.msm(curve, points, s, c=c, prepared=prepared)
+        for k in range(iters):
+            res = pippenger.msm(curve, points, batches[k], c=c,
+                                prepared=prepared)
             sync(res)
     dt = (time.time() - t0) / iters
     pts_per_s = n / dt

@@ -187,6 +187,18 @@ def test_merge_te_triangle():
             & (ga.inf == ra.inf))))
 
 
+def test_msm_te_streamed_vs_oracle(monkeypatch):
+    """Window-streamed orchestration (the 2^26 memory plan) forced via a
+    tiny ZPRIZE_STREAM_GB on a small case — must match the host oracle
+    and the fused path bit-for-bit at the API level."""
+    monkeypatch.setenv("ZPRIZE_STREAM_GB", "0.0000002")   # ~214 bytes
+    monkeypatch.setenv("ZPRIZE_STREAM_WINDOWS", "3")
+    monkeypatch.setenv("ZPRIZE_PRECOMPUTE", "0")          # m=1 path
+    points, s, expect = _msm_case()
+    res = pippenger.msm(CURVE, points, s, c=6)
+    assert _aff_ints(res) == expect
+
+
 def test_te_to_sw_host(pts8):
     """Host-int TE->SW conversion vs the device form, incl. identity."""
     base, tx, ty = pts8

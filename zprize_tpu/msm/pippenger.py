@@ -71,13 +71,31 @@ def signed_digits(curve: CurveSpec, c: int, n_win: int, scalars: jax.Array):
     """Scalar limb planes -> (n_win, n) int32 signed digits in
     [-2^(c-1), 2^(c-1)).  Mirrors the MSB-negate signed-window trick of
     `ProcessSignedDigits.cu:71` / `MSM.cu:424-429`, vectorized."""
+    digits, _ = _signed_digits_range(curve, c, 0, n_win, scalars, None)
+    return digits
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def signed_digits_range(curve: CurveSpec, c: int, w0: int, w1: int,
+                        scalars: jax.Array, carry_in: jax.Array):
+    """Windows [w0, w1) only, resuming from `carry_in` ((n,) int32 — the
+    carry left by window w0-1).  Returns (digits, carry_out); lets the
+    2^26-scale orchestration stream window chunks without materializing
+    the full (n_win, n) digit plane (the signed-digit carry chain is
+    sequential in w, so the checkpoint is one (n,) vector)."""
+    return _signed_digits_range(curve, c, w0, w1, scalars, carry_in)
+
+
+def _signed_digits_range(curve: CurveSpec, c: int, w0: int, w1: int,
+                         scalars, carry_in):
     s = fp.to_canonical(curve.scalar, scalars)  # limbs < 2**15
     pad = [(0, 0)] * (s.ndim - 1) + [(0, 2)]
     s = jnp.pad(s, pad)
     digits = []
-    carry = jnp.zeros(s.shape[:-1], jnp.int32)
+    carry = (jnp.zeros(s.shape[:-1], jnp.int32) if carry_in is None
+             else carry_in)
     half = 1 << (c - 1)
-    for w in range(n_win):
+    for w in range(w0, w1):
         start = w * c
         i0, sh = divmod(start, BASE_BITS)
         word = s[..., i0] | (s[..., i0 + 1] << BASE_BITS)
@@ -85,7 +103,7 @@ def signed_digits(curve: CurveSpec, c: int, n_win: int, scalars: jax.Array):
         over = raw >= half
         digits.append(jnp.where(over, raw - (1 << c), raw))
         carry = over.astype(jnp.int32)
-    return jnp.stack(digits)  # (n_win, n)
+    return jnp.stack(digits), carry  # (w1-w0, n), (n,)
 
 
 def _bucket_counts_core(c: int, digits_w: jax.Array):
@@ -557,7 +575,10 @@ def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
             use_pallas: bool) -> sw.Point:
     """TE-form core of `msm`: two device dispatches + one small host
     transfer (the descending occupancy vectors for the static tier
-    schedule) — the host-side launch planning analog of `MSM.cu:419-477`."""
+    schedule) — the host-side launch planning analog of `MSM.cu:419-477`.
+    At 2^24+ (digit planes past ZPRIZE_STREAM_GB) the full-width windows
+    are processed in streamed chunks instead (see `_msm_te_streamed`)."""
+    import os
     from .accum_kernel import tier_schedule
     n_win = num_windows(curve, c)
     full_nbe = 1 << (c - 1)
@@ -567,6 +588,11 @@ def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
     else:
         cspec = None
         gdict = _window_groups(curve, c, n_win, full_nbe)
+    stream_gb = float(os.environ.get("ZPRIZE_STREAM_GB", "3"))
+    if (cspec is None
+            and n_win * prepared.n * 8 > stream_gb * (1 << 30)):
+        return _msm_te_streamed(curve, prepared, inf, scalars, c,
+                                use_pallas, gdict)
     gspec = tuple(sorted(((nbe, tuple(ws)) for nbe, ws in gdict.items()),
                          reverse=True))
     digits, perm, starts, counts, descs = _digits_grouped_te(
@@ -583,6 +609,106 @@ def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
     # single-point TE->SW on the host (exact; see te.te_to_sw_host)
     from ..curve import te
     from ..field.spec import int_from_limbs
+    f = curve.field
+    xi, yi, zi = (int_from_limbs(np.asarray(jax.device_get(a)))
+                  for a in res_can)
+    sx, sy, sz = te.te_to_sw_host(curve, xi, yi, zi)
+    return sw.Point(fp.from_ints(f, [sx])[0], fp.from_ints(f, [sy])[0],
+                    fp.from_ints(f, [sz])[0])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _digits_chunk_te(curve: CurveSpec, c: int, w0: int, w1: int, nbe: int,
+                     scalars, inf, carry):
+    """Streamed dispatch 1: digits + grouping for windows [w0, w1)."""
+    digits, carry_out = _signed_digits_range(curve, c, w0, w1, scalars,
+                                             carry)
+    digits = jnp.where(inf[None, :], 0, digits)
+    perm, starts, counts, _ = bucket_counts_all(c, digits)
+    lc = counts[:, 1:nbe + 1].reshape(-1)
+    pad = (-lc.shape[0]) % 512
+    desc = -jnp.sort(-jnp.pad(lc, (0, pad)))
+    return digits, perm, starts, counts, desc, carry_out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _accum_merge_chunk_te(curve: CurveSpec, c: int, nbe: int, tiers,
+                          use_pallas: bool, packed, digits, perm, starts,
+                          counts):
+    """Streamed dispatch 2: tiered accumulate + bucket merge for one window
+    chunk; returns the merged TE window sums ((w1-w0,) lanes)."""
+    from . import te_path
+    n_win = digits.shape[0]
+    depth = max(1, tiers[-1])
+    if use_pallas:
+        from .accum_kernel import (accumulate_te_pallas,
+                                   merge_buckets_te_pallas,
+                                   merge_te_triangle_pallas)
+        sums = accumulate_te_pallas(curve, c, depth, packed, digits, perm,
+                                    starts, counts, nbe, tier_depths=tiers)
+        n_bits = max(1, nbe.bit_length())
+        lane_count = n_win * n_bits * min(nbe, 128)
+        if te_path.triangle_split(n_win, nbe) is not None:
+            return merge_te_triangle_pallas(curve, c, False, sums)
+        if n_win * nbe * n_bits >= 4096 and lane_count % 128 == 0:
+            return merge_buckets_te_pallas(curve, c, False, sums)
+        return te_path.merge_buckets_te(curve, c, sums)
+    sums = te_path.accumulate_te(curve, c, depth, packed, digits, perm,
+                                 starts, counts, nbe)
+    if te_path.triangle_split(n_win, nbe) is not None:
+        return te_path.merge_buckets_te_triangle(curve, c, sums)
+    return te_path.merge_buckets_te(curve, c, sums)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _combine_finish_te(curve: CurveSpec, c: int, stacked):
+    from . import te_path
+    combined = te_path._combine_core_te(curve, c, stacked)
+    f = curve.field
+    return tuple(fp.to_canonical(f, a) for a in
+                 (combined.x, combined.y, combined.z))
+
+
+def _msm_te_streamed(curve: CurveSpec, prepared: PreparedTe, inf, scalars,
+                     c: int, use_pallas: bool, gdict) -> sw.Point:
+    """Window-streamed TE MSM for 2^24+ points: the (n_win, n) digit/perm
+    planes would not fit HBM next to the point table (2^26: 10.7 GB table
+    + 13 windows x 0.5 GB x 2), so windows are processed in chunks — two
+    dispatches per chunk, one (n,) carry checkpoint riding between chunks
+    (the signed-digit carry chain is sequential in w).  The memory plan:
+    table (n x 160 B) + one chunk of digits/perm/sort temps + one chunk of
+    bucket-sum lanes, all bounded by ZPRIZE_STREAM_GB."""
+    import os
+    from ..curve import te
+    from ..field.spec import int_from_limbs
+    from .accum_kernel import tier_schedule
+    n = prepared.n
+    n_win = num_windows(curve, c)
+    stream_gb = float(os.environ.get("ZPRIZE_STREAM_GB", "3"))
+    wchunk = (int(os.environ.get("ZPRIZE_STREAM_WINDOWS", "0"))
+              or max(1, int(stream_gb * (1 << 30) // (n * 8 * 2))))
+    window_sums: list = [None] * n_win
+    carry = jnp.zeros((n,), jnp.int32)
+    # groups in ascending window order (the carry chain crosses groups)
+    for nbe, ws in sorted(gdict.items(), key=lambda kv: min(kv[1])):
+        assert list(ws) == list(range(min(ws), max(ws) + 1)), ws
+        for lo in range(min(ws), max(ws) + 1, wchunk):
+            hi = min(max(ws) + 1, lo + wchunk)
+            digits, perm, starts, counts, desc, carry = _digits_chunk_te(
+                curve, c, lo, hi, nbe, scalars, inf, carry)
+            desc_np = np.asarray(jax.device_get(desc))
+            if use_pallas and (hi - lo) * nbe >= 4096:
+                tiers = tier_schedule(desc_np)
+            else:
+                tiers = (max(1, int(desc_np[0])),)
+            merged = _accum_merge_chunk_te(curve, c, nbe, tiers, use_pallas,
+                                           prepared.packed, digits, perm,
+                                           starts, counts)
+            for k, w in enumerate(range(lo, hi)):
+                window_sums[w] = te.TePoint(*(a[k] for a in merged))
+    stacked = te.TePoint(*(jnp.stack([getattr(p, f) for p in window_sums])
+                           for f in ("x", "y", "z", "t")))
+    res_can = _combine_finish_te(curve, c, stacked)
     f = curve.field
     xi, yi, zi = (int_from_limbs(np.asarray(jax.device_get(a)))
                   for a in res_can)
