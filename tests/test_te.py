@@ -126,18 +126,19 @@ def test_accumulate_te_pallas_interpret():
     desc = np.sort(np.concatenate(
         [lane_counts, np.zeros(pad, lane_counts.dtype)]))[::-1]
     tiers = tier_schedule(desc, tile=128)
-    got = accumulate_te_pallas(CURVE, c, int(desc[0]), packed, digits, perm,
-                               starts, counts, nbe, interpret=True,
-                               tier_depths=tiers)
-    # compare projectively per lane: map both to SW affine via te_to_sw
-    for pt in (ref, got):
-        assert pt.x.shape == (n_win, nbe, CURVE.field.n_limbs)
-    ga = sw.to_affine(CURVE, te.te_to_sw(CURVE, got))
     ra = sw.to_affine(CURVE, te.te_to_sw(CURVE, ref))
-    assert bool(jax.device_get(jnp.all(
-        (fp.eq(CURVE.field, ga.x, ra.x) | (ga.inf & ra.inf))
-        & (fp.eq(CURVE.field, ga.y, ra.y) | (ga.inf & ra.inf))
-        & (ga.inf == ra.inf))))
+    # static host schedule AND traced in-graph depths must both match
+    for td in (tiers, "traced"):
+        got = accumulate_te_pallas(CURVE, c, int(desc[0]), packed, digits,
+                                   perm, starts, counts, nbe,
+                                   interpret=True, tier_depths=td)
+        for pt in (ref, got):
+            assert pt.x.shape == (n_win, nbe, CURVE.field.n_limbs)
+        ga = sw.to_affine(CURVE, te.te_to_sw(CURVE, got))
+        assert bool(jax.device_get(jnp.all(
+            (fp.eq(CURVE.field, ga.x, ra.x) | (ga.inf & ra.inf))
+            & (fp.eq(CURVE.field, ga.y, ra.y) | (ga.inf & ra.inf))
+            & (ga.inf == ra.inf)))), td
 
 
 def test_merge_te_pallas_interpret():

@@ -884,32 +884,58 @@ def accumulate_te_pallas(curve: CurveSpec, c: int, cap: int, packed,
     st_s = starts_b[order]
     ct_s = counts_b[order]
     wol_s = win_of_lane[order]
+
+    # Tier structure: the prefix-halving ladder is a function of (total,
+    # tile) alone — STATIC — while the per-tier depth bounds may be traced
+    # (`tier_depths="traced"`), computed here from the sorted counts
+    # exactly as `tier_schedule` does on the host.  Traced depths mean ONE
+    # compile serves every occupancy profile (a prover commits dozens of
+    # polynomials, each a different profile: static depths retraced and
+    # recompiled the whole fused MSM graph per commit), and the
+    # dispatch->host->dispatch sync for the schedule disappears.
+    prefixes = [total]
+    while _next_prefix(prefixes[-1], tile) < prefixes[-1]:
+        prefixes.append(_next_prefix(prefixes[-1], tile))
+    if tier_depths == "traced":
+        depths = [ct_s[p] for p in prefixes[1:]] + [ct_s[0]]
+        running = depths[0]
+        traced_d = [running]
+        for d in depths[1:]:
+            running = jnp.maximum(running, d)
+            traced_d.append(running)
+        tiers = [(p, None, dt) for p, dt in zip(prefixes, traced_d)]
+    else:
+        # a static schedule may be longer than this ladder (computed with a
+        # smaller tile): the extra tiers run at the floor prefix
+        ds = list(tier_depths) + [tier_depths[-1]] * (
+            len(prefixes) - len(tier_depths))
+        pfx = prefixes + [prefixes[-1]] * (len(ds) - len(prefixes))
+        tiers = [(p, d, None) for p, d in zip(pfx, ds)]
+
     acc = (jnp.zeros((nl, total), jnp.uint32), one, one,
            jnp.zeros((nl, total), jnp.uint32))
-    d_prev = 0
-    p_len = total
-    for d in tier_depths:
-        if d > d_prev:
-            addp = make_te_mixed_add(curve, p_len, min(tile, p_len),
-                                     interpret)
-            st_p, ct_p, wol_p = st_s[:p_len], ct_s[:p_len], wol_s[:p_len]
+    d_prev = 0           # static int, or traced once depths are traced
+    for p_len, d_static, d_traced in tiers:
+        d = d_traced if d_static is None else d_static
+        if d_static is not None and d_static <= d_prev:
+            continue
+        addp = make_te_mixed_add(curve, p_len, min(tile, p_len),
+                                 interpret)
+        st_p, ct_p, wol_p = st_s[:p_len], ct_s[:p_len], wol_s[:p_len]
 
-            def tbody(tv, a, st_p=st_p, ct_p=ct_p, wol_p=wol_p, addp=addp,
-                      d_prev=d_prev):
-                r = d_prev + tv
-                pos = jnp.clip(st_p + r, 0, n - 1)
-                idx = perm[wol_p, pos]
-                valid = (r < ct_p).astype(jnp.uint32)
-                sign = (digits[wol_p, idx] < 0).astype(jnp.uint32)
-                rows = jnp.take(packed, idx, axis=0)       # (p, rows_n)
-                mask = (valid | (sign << 1))[None, :]
-                return addp(a[0], a[1], a[2], a[3], rows.T, mask)
+        def tbody(r, a, st_p=st_p, ct_p=ct_p, wol_p=wol_p, addp=addp):
+            pos = jnp.clip(st_p + r, 0, n - 1)
+            idx = perm[wol_p, pos]
+            valid = (r < ct_p).astype(jnp.uint32)
+            sign = (digits[wol_p, idx] < 0).astype(jnp.uint32)
+            rows = jnp.take(packed, idx, axis=0)       # (p, rows_n)
+            mask = (valid | (sign << 1))[None, :]
+            return addp(a[0], a[1], a[2], a[3], rows.T, mask)
 
-            sub = tuple(a[:, :p_len] for a in acc)
-            sub = jax.lax.fori_loop(0, d - d_prev, tbody, sub)
-            acc = tuple(acc[k].at[:, :p_len].set(sub[k]) for k in range(4))
-            d_prev = d
-        p_len = _next_prefix(p_len, tile)
+        sub = tuple(a[:, :p_len] for a in acc)
+        sub = jax.lax.fori_loop(d_prev, d, tbody, sub)
+        acc = tuple(acc[k].at[:, :p_len].set(sub[k]) for k in range(4))
+        d_prev = d
     inv = jnp.argsort(order)
     out = tuple(a[:, inv] for a in acc)
     return te_mod.TePoint(

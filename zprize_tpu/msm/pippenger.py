@@ -489,10 +489,13 @@ def _window_groups(curve: CurveSpec, c: int, n_win: int,
     return groups
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _digits_grouped_te(curve: CurveSpec, c: int, cspec, gspec, scalars, inf):
-    """Dispatch 1 of the TE MSM: digits, bucket grouping, and the
-    descending lane-occupancy vectors the host tier scheduler needs.
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _digits_grouped_te(curve: CurveSpec, c: int, cspec, gspec, want_desc,
+                       scalars, inf):
+    """Dispatch 1 of the TE MSM: digits + bucket grouping.  `want_desc`
+    additionally returns the descending lane-occupancy vectors for the
+    HOST tier scheduler — only the XLA (non-Pallas) path needs them; the
+    Pallas accumulate derives traced depths in-graph.
     `cspec`: None or (G, m, n) window-collapse split; `gspec`: static
     ((nbe, ws-tuple), ...) window grouping."""
     n_win = num_windows(curve, c)
@@ -506,10 +509,11 @@ def _digits_grouped_te(curve: CurveSpec, c: int, cspec, gspec, scalars, inf):
         digits = jnp.where(inf[None, :], 0, digits)
     perm, starts, counts, _ = bucket_counts_all(c, digits)
     descs = []
-    for nbe, ws in gspec:
-        lc = counts[jnp.asarray(ws), 1:nbe + 1].reshape(-1)
-        pad = (-lc.shape[0]) % 512
-        descs.append(-jnp.sort(-jnp.pad(lc, (0, pad))))
+    if want_desc:
+        for nbe, ws in gspec:
+            lc = counts[jnp.asarray(ws), 1:nbe + 1].reshape(-1)
+            pad = (-lc.shape[0]) % 512
+            descs.append(-jnp.sort(-jnp.pad(lc, (0, pad))))
     return digits, perm, starts, counts, tuple(descs)
 
 
@@ -532,12 +536,11 @@ def _msm_te_device(curve: CurveSpec, c: int, gspec, tiers_spec,
             jw = jnp.asarray(ws)
             d_g, p_g = digits[jw], perm[jw]
             s_g, c_g = starts[jw], counts[jw]
-        depth = max(1, tiers[-1])
         if use_pallas:
             from .accum_kernel import (accumulate_te_pallas,
                                        merge_buckets_te_pallas,
                                        merge_te_triangle_pallas)
-            sums = accumulate_te_pallas(curve, c, depth, packed, d_g, p_g,
+            sums = accumulate_te_pallas(curve, c, 1, packed, d_g, p_g,
                                         s_g, c_g, nbe, tier_depths=tiers)
             n_bits = max(1, nbe.bit_length())
             lane_count = len(ws) * n_bits * min(nbe, 128)
@@ -548,6 +551,7 @@ def _msm_te_device(curve: CurveSpec, c: int, gspec, tiers_spec,
             else:
                 merged = te_path.merge_buckets_te(curve, c, sums)
         else:
+            depth = jnp.maximum(1, jnp.max(c_g[:, 1:nbe + 1]))
             sums = te_path.accumulate_te(curve, c, depth, packed, d_g, p_g,
                                          s_g, c_g, nbe)
             if te_path.triangle_split(len(ws), nbe) is not None:
@@ -573,13 +577,12 @@ def _msm_te_device(curve: CurveSpec, c: int, gspec, tiers_spec,
 
 def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
             use_pallas: bool) -> sw.Point:
-    """TE-form core of `msm`: two device dispatches + one small host
-    transfer (the descending occupancy vectors for the static tier
-    schedule) — the host-side launch planning analog of `MSM.cu:419-477`.
+    """TE-form core of `msm`: two device dispatches, no mid-MSM host
+    sync (tier depths are traced in-graph) — the launch-planning role of
+    `MSM.cu:419-477` reduced to static shape selection.
     At 2^24+ (digit planes past ZPRIZE_STREAM_GB) the full-width windows
     are processed in streamed chunks instead (see `_msm_te_streamed`)."""
     import os
-    from .accum_kernel import tier_schedule
     n_win = num_windows(curve, c)
     full_nbe = 1 << (c - 1)
     if prepared.m > 1:
@@ -595,16 +598,13 @@ def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
                                 use_pallas, gdict)
     gspec = tuple(sorted(((nbe, tuple(ws)) for nbe, ws in gdict.items()),
                          reverse=True))
-    digits, perm, starts, counts, descs = _digits_grouped_te(
-        curve, c, cspec, gspec, scalars, inf)
-    tiers_spec = []
-    for (nbe, ws), desc in zip(gspec, descs):
-        desc_np = np.asarray(jax.device_get(desc))
-        if use_pallas and len(ws) * nbe >= 4096:
-            tiers_spec.append(tier_schedule(desc_np))
-        else:
-            tiers_spec.append((max(1, int(desc_np[0])),))
-    res_can = _msm_te_device(curve, c, gspec, tuple(tiers_spec), use_pallas,
+    digits, perm, starts, counts, _ = _digits_grouped_te(
+        curve, c, cspec, gspec, False, scalars, inf)
+    # traced tier depths throughout: no schedule sync, one compile per
+    # shape (a prover commits dozens of polynomials, each with a different
+    # occupancy profile — static depths recompiled the graph per commit)
+    tiers_spec = ("traced",) * len(gspec)
+    res_can = _msm_te_device(curve, c, gspec, tiers_spec, use_pallas,
                              prepared.packed, digits, perm, starts, counts)
     # single-point TE->SW on the host (exact; see te.te_to_sw_host)
     from ..curve import te
@@ -625,10 +625,7 @@ def _digits_chunk_te(curve: CurveSpec, c: int, w0: int, w1: int, nbe: int,
                                              carry)
     digits = jnp.where(inf[None, :], 0, digits)
     perm, starts, counts, _ = bucket_counts_all(c, digits)
-    lc = counts[:, 1:nbe + 1].reshape(-1)
-    pad = (-lc.shape[0]) % 512
-    desc = -jnp.sort(-jnp.pad(lc, (0, pad)))
-    return digits, perm, starts, counts, desc, carry_out
+    return digits, perm, starts, counts, carry_out
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
@@ -639,12 +636,11 @@ def _accum_merge_chunk_te(curve: CurveSpec, c: int, nbe: int, tiers,
     chunk; returns the merged TE window sums ((w1-w0,) lanes)."""
     from . import te_path
     n_win = digits.shape[0]
-    depth = max(1, tiers[-1])
     if use_pallas:
         from .accum_kernel import (accumulate_te_pallas,
                                    merge_buckets_te_pallas,
                                    merge_te_triangle_pallas)
-        sums = accumulate_te_pallas(curve, c, depth, packed, digits, perm,
+        sums = accumulate_te_pallas(curve, c, 1, packed, digits, perm,
                                     starts, counts, nbe, tier_depths=tiers)
         n_bits = max(1, nbe.bit_length())
         lane_count = n_win * n_bits * min(nbe, 128)
@@ -653,6 +649,7 @@ def _accum_merge_chunk_te(curve: CurveSpec, c: int, nbe: int, tiers,
         if n_win * nbe * n_bits >= 4096 and lane_count % 128 == 0:
             return merge_buckets_te_pallas(curve, c, False, sums)
         return te_path.merge_buckets_te(curve, c, sums)
+    depth = jnp.maximum(1, jnp.max(counts[:, 1:nbe + 1]))
     sums = te_path.accumulate_te(curve, c, depth, packed, digits, perm,
                                  starts, counts, nbe)
     if te_path.triangle_split(n_win, nbe) is not None:
@@ -681,7 +678,6 @@ def _msm_te_streamed(curve: CurveSpec, prepared: PreparedTe, inf, scalars,
     import os
     from ..curve import te
     from ..field.spec import int_from_limbs
-    from .accum_kernel import tier_schedule
     n = prepared.n
     n_win = num_windows(curve, c)
     stream_gb = float(os.environ.get("ZPRIZE_STREAM_GB", "3"))
@@ -694,16 +690,11 @@ def _msm_te_streamed(curve: CurveSpec, prepared: PreparedTe, inf, scalars,
         assert list(ws) == list(range(min(ws), max(ws) + 1)), ws
         for lo in range(min(ws), max(ws) + 1, wchunk):
             hi = min(max(ws) + 1, lo + wchunk)
-            digits, perm, starts, counts, desc, carry = _digits_chunk_te(
+            digits, perm, starts, counts, carry = _digits_chunk_te(
                 curve, c, lo, hi, nbe, scalars, inf, carry)
-            desc_np = np.asarray(jax.device_get(desc))
-            if use_pallas and (hi - lo) * nbe >= 4096:
-                tiers = tier_schedule(desc_np)
-            else:
-                tiers = (max(1, int(desc_np[0])),)
-            merged = _accum_merge_chunk_te(curve, c, nbe, tiers, use_pallas,
-                                           prepared.packed, digits, perm,
-                                           starts, counts)
+            merged = _accum_merge_chunk_te(curve, c, nbe, "traced",
+                                           use_pallas, prepared.packed,
+                                           digits, perm, starts, counts)
             for k, w in enumerate(range(lo, hi)):
                 window_sums[w] = te.TePoint(*(a[k] for a in merged))
     stacked = te.TePoint(*(jnp.stack([getattr(p, f) for p in window_sums])

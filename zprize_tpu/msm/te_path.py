@@ -125,15 +125,18 @@ def unpack_pre(curve: CurveSpec, rows: jax.Array) -> te.TePre:
                     unpack_u16(rows[..., 2 * h:3 * h], l))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 8))
-def accumulate_te(curve: CurveSpec, c: int, cap: int, packed, digits,
+@functools.partial(jax.jit, static_argnums=(0, 1, 8))
+def accumulate_te(curve: CurveSpec, c: int, cap, packed, digits,
                   perm, starts, counts, n_buckets_eff=None, rank0=0):
     """Rectangle bucket accumulation in TE form (XLA reference form):
     TePoint bucket sums of shape (n_win, n_buckets_eff) lanes.
 
     Padding / exhausted ranks use the identity precomputed operand
     (1, 1, 0) — the strongly-unified add absorbs it with no select on the
-    accumulator (vs the inf-mask select the SW path needs)."""
+    accumulator (vs the inf-mask select the SW path needs).  `cap` may be
+    a TRACED scalar (the fori trip count lowers to a while loop): callers
+    pass max(counts) computed in-graph, so one compile serves every
+    occupancy profile."""
     n = packed.shape[0]
     n_win = digits.shape[0]
     if n_buckets_eff is None:
