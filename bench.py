@@ -166,6 +166,47 @@ def bench_plonk():
                       "vs_baseline": 29591.0 / ns_per}))
 
 
+def bench_posw():
+    """team-prize2 metric: PoSW (Marlin) proofs per 20 s window.
+    Baseline: simonatsn 745-755 proofs/20 s on one RTX 4000
+    (`team-division/prize2-posw-gpu/simonatsn/README.md:59-61`)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from zprize_tpu.field.spec import BLS12_377_FR
+    from zprize_tpu.posw import posw
+
+    t0 = time.time()
+    keys = posw.setup()
+    log(f"posw keygen (untimed init): {time.time()-t0:.1f}s; "
+        f"n={1 << keys.pk.log_n} k={1 << keys.pk.log_k}")
+    # warm: one full prove + verify (the dispatcher-verifies-everything
+    # oracle pattern)
+    t0 = time.time()
+    sol = posw.mine(keys, header=42, target=BLS12_377_FR.p, max_nonces=1)
+    assert sol is not None
+    if not posw.verify_work(keys, keys.pk.srs, sol, BLS12_377_FR.p):
+        log("POSW PROOF DID NOT VERIFY — benchmark invalid")
+        print(json.dumps({"metric": "posw_proofs_per_20s", "value": 0.0,
+                          "unit": "proofs/20s", "vs_baseline": 0.0,
+                          "error": "verify failed"}))
+        return
+    log(f"first proof (incl. compile): {time.time()-t0:.1f}s; verified")
+
+    window = float(os.environ.get("BENCH_POSW_WINDOW_S", "20"))
+    t0 = time.time()
+    nonce, proofs = 1, 0
+    while time.time() - t0 < window:
+        sol = posw.mine(keys, header=42, target=BLS12_377_FR.p,
+                        start_nonce=nonce, max_nonces=1)
+        assert sol is not None
+        nonce += 1
+        proofs += 1
+    dt = time.time() - t0
+    rate = proofs / dt * 20.0
+    log(f"steady-state: {proofs} proofs in {dt:.1f}s -> {rate:.1f} /20s")
+    print(json.dumps({"metric": "posw_proofs_per_20s", "value": rate,
+                      "unit": "proofs/20s", "vs_baseline": rate / 750.0}))
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/zprize_tpu_jax_cache_tpu")
@@ -176,6 +217,9 @@ def main():
         return
     if metric == "plonk":
         bench_plonk()
+        return
+    if metric == "posw":
+        bench_posw()
         return
     npow = int(os.environ.get("BENCH_NPOW", "18"))
     seed = int(os.environ.get("MSM_SEED", "42"))

@@ -23,4 +23,5 @@ run "profile-msm-2^20" 2400 env BENCH_NPOW=20 python scripts/profile_msm_te.py
 run "ntt-profile" 1800 python scripts/profile_ntt.py
 run "ntt-bench" 1800 env BENCH_METRIC=ntt python bench.py
 run "plonk-bench" 5400 env BENCH_METRIC=plonk python bench.py
+run "posw-bench" 3600 env BENCH_METRIC=posw python bench.py
 echo "@@@ SWEEP DONE $(date -u +%H:%M:%S)" >> "$LOG"
