@@ -15,7 +15,9 @@ run() {
 
 run "kernel-microbench-mxu" 1800 env ZPRIZE_KMUL=mxu python scripts/microbench_te_kernel.py
 run "kernel-microbench-vpu" 1800 env ZPRIZE_KMUL=vpu python scripts/microbench_te_kernel.py
+run "kernel-microbench-hybrid" 1800 env ZPRIZE_KMUL=hybrid python scripts/microbench_te_kernel.py
 run "msm-2^18" 2400 python bench.py
+run "msm-2^18-hybrid" 2400 env ZPRIZE_KMUL=hybrid python bench.py
 run "msm-2^18-vpu" 2400 env ZPRIZE_KMUL=vpu python bench.py
 run "msm-2^20" 2700 env BENCH_NPOW=20 python bench.py
 run "msm-2^24" 5400 env BENCH_NPOW=24 python bench.py

@@ -53,6 +53,84 @@ def test_kernel_ops_match_fp(spec):
 
 
 @pytest.mark.parametrize("spec", ALL_SPECS, ids=lambda s: s.name)
+def test_kmul_mxu_and_hybrid_match_kmul(spec):
+    """The three multiply schedules agree: mxu/hybrid share the fold path
+    (bit-identical to each other); all three are normal-form and
+    value-identical mod p to the VPU form (whose reduction plan differs,
+    so representatives may differ)."""
+    rng = np.random.default_rng(13)
+    batch = 32
+    a_np = _random_normal_form(rng, spec, batch)
+    b_np = _random_normal_form(rng, spec, batch)
+    at, bt = jnp.asarray(a_np).T, jnp.asarray(b_np).T
+    ft = jnp.asarray(fk.fold_table_t(spec))
+    smat, fmat, _, _ = fk.mxu_tables(spec)
+    ref = np.asarray(jax.device_get(fk.kmul(spec, at, bt, ft))).T
+    got_mxu = np.asarray(jax.device_get(
+        fk.kmul_mxu(spec, at, bt, jnp.asarray(smat), jnp.asarray(fmat),
+                    ft))).T
+    got_hyb = np.asarray(jax.device_get(
+        fk.kmul_hybrid(spec, at, bt, jnp.asarray(fmat), ft))).T
+    assert np.array_equal(got_mxu, got_hyb), f"{spec.name} mxu!=hybrid"
+    assert got_mxu.max() < (1 << 16) and ref.max() < (1 << 16)
+    for i in range(batch):
+        expect = (int_from_limbs(a_np[i]) * int_from_limbs(b_np[i])) % spec.p
+        assert int_from_limbs(ref[i]) % spec.p == expect
+        assert int_from_limbs(got_mxu[i]) % spec.p == expect
+
+
+def test_te_kernels_hybrid_interpret():
+    """TE mixed/full add kernels across multiply modes (interpret):
+    hybrid is bit-identical to mxu (shared fold path); both match the vpu
+    form canonically (value mod p)."""
+    from zprize_tpu.curve.spec import BLS12_377_G1
+    from zprize_tpu.msm.accum_kernel import (make_te_full_add,
+                                             make_te_mixed_add)
+    curve = BLS12_377_G1
+    f = curve.field
+    n = f.n_limbs
+    h = (n + 1) // 2
+    rows_n = 3 * h + (-3 * h) % 8
+    lanes = 128
+    rng = np.random.default_rng(3)
+    mk = lambda shape: jnp.asarray(
+        rng.integers(0, 1 << 15, shape).astype(np.uint32))
+    x, y, z, t = (mk((n, lanes)) for _ in range(4))
+    rows = mk((rows_n, lanes))
+    mask = jnp.asarray((rng.integers(0, 4, (1, lanes))).astype(np.uint32))
+
+    def canon(planes):
+        return [np.asarray(jax.device_get(fp.to_canonical(f, o.T)))
+                for o in planes]
+
+    outs, raws = {}, {}
+    for mode in ("vpu", "mxu", "hybrid"):
+        add = make_te_mixed_add(curve, lanes, lanes, interpret=True,
+                                kmul_mode=mode)
+        raw = add(x, y, z, t, rows, mask)
+        raws[mode] = [np.asarray(jax.device_get(o)) for o in raw]
+        outs[mode] = canon(raw)
+    for a, b in zip(raws["mxu"], raws["hybrid"]):
+        assert np.array_equal(a, b), "mixed: hybrid != mxu bitwise"
+    for a, b in zip(outs["vpu"], outs["hybrid"]):
+        assert np.array_equal(a, b), "mixed: hybrid != vpu canonically"
+
+    x2, y2, z2, t2 = (mk((n, lanes)) for _ in range(4))
+    skip = jnp.asarray((rng.integers(0, 2, (1, lanes))).astype(np.uint32))
+    outs, raws = {}, {}
+    for mode in ("vpu", "mxu", "hybrid"):
+        add = make_te_full_add(curve, lanes, lanes, interpret=True,
+                               kmul_mode=mode)
+        raw = add(x, y, z, t, x2, y2, z2, t2, skip)
+        raws[mode] = [np.asarray(jax.device_get(o)) for o in raw]
+        outs[mode] = canon(raw)
+    for a, b in zip(raws["mxu"], raws["hybrid"]):
+        assert np.array_equal(a, b), "full: hybrid != mxu bitwise"
+    for a, b in zip(outs["vpu"], outs["hybrid"]):
+        assert np.array_equal(a, b), "full: hybrid != vpu canonically"
+
+
+@pytest.mark.parametrize("spec", ALL_SPECS, ids=lambda s: s.name)
 def test_kernel_mul_int_oracle(spec):
     """kmul against the python-int oracle directly."""
     rng = np.random.default_rng(11)

@@ -128,13 +128,7 @@ def kmul(spec: FieldSpec, a, b, ft):
         pp = a[i:i + 1] * b                       # (n, T) exact in u32
         c = c + _shift_rows(pp & _MASK, i, 2 * n)
         c = c + _shift_rows(pp >> BASE_BITS, i + 1, 2 * n)
-    lo_max, hi_max = LIMB_MASK, (_U32_LIM - 1) >> BASE_BITS
-    bounds = []
-    for k in range(2 * n):
-        n_lo = max(0, min(k, n - 1) - max(0, k - n + 1) + 1)
-        n_hi = max(0, min(k - 1, n - 1) - max(0, k - n) + 1)
-        bounds.append(n_lo * lo_max + n_hi * hi_max + 1)
-    return _normalize_k(c, bounds, spec, ft)
+    return _normalize_k(c, _diag_bounds(n), spec, ft)
 
 
 def kadd(spec: FieldSpec, a, b, ft):
@@ -229,38 +223,24 @@ def mxu_tables(spec: FieldSpec) -> tuple[np.ndarray, np.ndarray, int, int]:
             k_pad, f_pad)
 
 
-def kmul_mxu(spec: FieldSpec, a, b, smat, fmat, ft):
-    """(N, T) x (N, T) -> (N, T) normal form; bit-identical to `kmul`.
-    `smat`/`fmat` from `mxu_tables`, `ft` = fold_table_t — all passed in
-    (Pallas kernels cannot capture array constants)."""
-    n = spec.n_limbs
-    t = a.shape[1]
-    k_pad, f_pad = smat.shape[1], fmat.shape[1]
-
-    # partial products, f32 pieces (lo | hi), flattened row-major over (i, j)
-    pp, hi = [], []
-    for i in range(n):
-        prod = a[i:i + 1] * b                       # (n, T) exact u32
-        pp.append((prod & _MASK).astype(jnp.float32))
-        hi.append((prod >> BASE_BITS).astype(jnp.float32))
-    plane = jnp.concatenate(pp + hi, axis=0)        # (2n^2, T)
-    if plane.shape[0] < k_pad:
-        plane = jnp.concatenate(
-            [plane, jnp.zeros((k_pad - plane.shape[0], t), jnp.float32)],
-            axis=0)
-    c_f = jax.lax.dot_general(smat, plane, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    c = c_f[:2 * n].astype(jnp.uint32)              # exact: sums < 2^22.7
-
-    # per-column bounds of the diag-sum (same derivation as kmul)
+def _diag_bounds(n: int) -> list[int]:
+    """Per-column bounds of the schoolbook diagonal sum (2n columns)."""
     lo_max, hi_max = LIMB_MASK, (_U32_LIM - 1) >> BASE_BITS
     bounds = []
     for k in range(2 * n):
         n_lo = max(0, min(k, n - 1) - max(0, k - n + 1) + 1)
         n_hi = max(0, min(k - 1, n - 1) - max(0, k - n) + 1)
         bounds.append(n_lo * lo_max + n_hi * hi_max + 1)
+    return bounds
 
-    # fold the tail via the piece matmul
+
+def _fold_tail_mxu(spec: FieldSpec, c, bounds, fmat, ft):
+    """Fold the (2n, T) diag-sum `c` to normal form: tail pieces reduced by
+    the exact-f32 fold matmul (`fmat` from `mxu_tables`), head combined on
+    the VPU, then the static-bounds normalize."""
+    n = spec.n_limbs
+    t = c.shape[1]
+    f_pad = fmat.shape[1]
     tail = c[n:]
     tail_bound = max(bounds[n:])
     assert tail_bound <= 1 << (MXU_PIECE_BITS * MXU_N_PIECES), tail_bound
@@ -281,6 +261,51 @@ def kmul_mxu(spec: FieldSpec, a, b, smat, fmat, ft):
                   for k in range(n)]
     assert all(bv < _U32_LIM for bv in out_bounds), out_bounds
     return _normalize_k(out, out_bounds, spec, ft)
+
+
+def kmul_mxu(spec: FieldSpec, a, b, smat, fmat, ft):
+    """(N, T) x (N, T) -> (N, T) normal form; value-identical to `kmul`
+    mod p (the fold path differs, so redundant representatives may differ —
+    bit-identical to `kmul_hybrid`, which shares the fold).
+    `smat`/`fmat` from `mxu_tables`, `ft` = fold_table_t — all passed in
+    (Pallas kernels cannot capture array constants)."""
+    n = spec.n_limbs
+    t = a.shape[1]
+    k_pad = smat.shape[1]
+
+    # partial products, f32 pieces (lo | hi), flattened row-major over (i, j)
+    pp, hi = [], []
+    for i in range(n):
+        prod = a[i:i + 1] * b                       # (n, T) exact u32
+        pp.append((prod & _MASK).astype(jnp.float32))
+        hi.append((prod >> BASE_BITS).astype(jnp.float32))
+    plane = jnp.concatenate(pp + hi, axis=0)        # (2n^2, T)
+    if plane.shape[0] < k_pad:
+        plane = jnp.concatenate(
+            [plane, jnp.zeros((k_pad - plane.shape[0], t), jnp.float32)],
+            axis=0)
+    c_f = jax.lax.dot_general(smat, plane, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    c = c_f[:2 * n].astype(jnp.uint32)              # exact: sums < 2^22.7
+    return _fold_tail_mxu(spec, c, _diag_bounds(n), fmat, ft)
+
+
+def kmul_hybrid(spec: FieldSpec, a, b, fmat, ft):
+    """(N, T) x (N, T) -> (N, T) normal form; bit-identical to `kmul_mxu`,
+    value-identical to `kmul` mod p.
+
+    Hybrid schedule: the schoolbook diagonal sum stays on the VPU as
+    shifted u32 adds (as in `kmul` — the `smat` matmul of `kmul_mxu` burns
+    ~2N·N^2 MXU MACs to realize columns with only TWO nonzeros each), while
+    the tail fold rides the small exact-f32 `fmat` matmul (the part the VPU
+    form pays ~2x the schoolbook for in `_fold_pass_k`)."""
+    n = spec.n_limbs
+    c = jnp.zeros((2 * n,) + a.shape[1:], jnp.uint32)
+    for i in range(n):
+        pp = a[i:i + 1] * b                         # (n, T) exact in u32
+        c = c + _shift_rows(pp & _MASK, i, 2 * n)
+        c = c + _shift_rows(pp >> BASE_BITS, i + 1, 2 * n)
+    return _fold_tail_mxu(spec, c, _diag_bounds(n), fmat, ft)
 
 
 def neg2_col(spec: FieldSpec) -> np.ndarray:

@@ -633,16 +633,17 @@ def _te_madd_body(curve: CurveSpec, x, y, z, t, yp, ym, kt_c, ft, neg2,
     return (km(e, ff_), km(g, h), km(ff_, g), km(e, h))
 
 
-def _mxu_enabled() -> bool:
-    """Route the kernel multiplies through the MXU matmul form
-    (`fp_kernel.kmul_mxu`); env A/B knob."""
+def _kmul_mode() -> str:
+    """Kernel-multiply schedule: 'mxu' (diag-sum + fold as exact-f32
+    matmuls), 'hybrid' (VPU diag-sum, MXU fold — `fp_kernel.kmul_hybrid`),
+    or 'vpu' (all-VPU `fp_kernel.kmul`).  Env A/B knob."""
     import os
-    return os.environ.get("ZPRIZE_KMUL", "mxu") == "mxu"
+    return os.environ.get("ZPRIZE_KMUL", "mxu")
 
 
 @functools.lru_cache(maxsize=None)
 def make_te_mixed_add(curve: CurveSpec, n_lanes: int, tile: int,
-                      interpret: bool = False, use_mxu: bool | None = None):
+                      interpret: bool = False, kmul_mode: str | None = None):
     """fn(x, y, z, t, rows, mask) -> (x, y, z, t).
 
     rows: (3h_pad, n_lanes) u32 — the gathered u16-PACKED precomputed
@@ -650,27 +651,37 @@ def make_te_mixed_add(curve: CurveSpec, n_lanes: int, tile: int,
     `te_path.pack_u16`).  mask: (1, n_lanes) u32, bit0 = valid,
     bit1 = digit sign.  Unpack + sign/identity selection happen in-kernel
     so the HBM gather stays one ~160B contiguous row per lane.
-    `use_mxu` routes the 7 multiplies through the exact-f32 MXU form."""
+    `kmul_mode` selects the multiply schedule for the 7 multiplies
+    (see `_kmul_mode`)."""
     f = curve.field
     n = f.n_limbs
     h = (n + 1) // 2
     rows_n = 3 * h + (-3 * h) % 8      # sublane-pad the packed rows to 8
     assert n_lanes % tile == 0
-    if use_mxu is None:
-        use_mxu = _mxu_enabled()
-    if use_mxu:
+    if kmul_mode is None:
+        kmul_mode = _kmul_mode()
+    if kmul_mode == "mxu":
         smat_np, fmat_np, _, _ = fk.mxu_tables(f)
+        extra_np = (smat_np, fmat_np)
+    elif kmul_mode == "hybrid":
+        _, fmat_np, _, _ = fk.mxu_tables(f)
+        extra_np = (fmat_np,)
+    else:
+        extra_np = ()
 
     def kernel(*refs):
-        # refs = (ft, neg2, rows, mask, x, y, z, t, [smat, fmat],
+        # refs = (ft, neg2, rows, mask, x, y, z, t, [smat][, fmat],
         #         ox, oy, oz, ot) — pallas passes all inputs, then outputs
         (ft_ref, neg2_ref, rows_ref, mask_ref,
          x_ref, y_ref, z_ref, t_ref) = refs[:8]
         ox_ref, oy_ref, oz_ref, ot_ref = refs[-4:]
         ft, neg2 = ft_ref[...], neg2_ref[...]
-        if use_mxu:
+        if kmul_mode == "mxu":
             smat, fmat = refs[8][...], refs[9][...]
             km = lambda u, v: fk.kmul_mxu(f, u, v, smat, fmat, ft)
+        elif kmul_mode == "hybrid":
+            fmat = refs[8][...]
+            km = lambda u, v: fk.kmul_hybrid(f, u, v, fmat, ft)
         else:
             km = None
         rows = rows_ref[...]
@@ -715,13 +726,8 @@ def make_te_mixed_add(curve: CurveSpec, n_lanes: int, tile: int,
                              memory_space=pltpu.VMEM)
     in_specs = [ft_spec, neg2_spec, rows_spec, mask_spec,
                 lane_spec, lane_spec, lane_spec, lane_spec]
-    if use_mxu:
-        in_specs += [
-            pl.BlockSpec(smat_np.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(fmat_np.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+    in_specs += [pl.BlockSpec(m.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM) for m in extra_np]
     call = pl.pallas_call(
         kernel,
         grid=(n_lanes // tile,),
@@ -735,8 +741,7 @@ def make_te_mixed_add(curve: CurveSpec, n_lanes: int, tile: int,
     ft_np, neg2_np = fk.fold_table_t(f), fk.neg2_col(f)
 
     def fn(x, y, z, t, rows, mask):
-        extra = ((jnp.asarray(smat_np), jnp.asarray(fmat_np))
-                 if use_mxu else ())
+        extra = tuple(jnp.asarray(m) for m in extra_np)
         return call(jnp.asarray(ft_np), jnp.asarray(neg2_np),
                     rows, mask, x, y, z, t, *extra)
 
@@ -768,27 +773,37 @@ def _te_full_add_body(curve: CurveSpec, x1, y1, z1, t1, x2, y2, z2, t2,
 
 @functools.lru_cache(maxsize=None)
 def make_te_full_add(curve: CurveSpec, n_lanes: int, tile: int,
-                     interpret: bool = False, use_mxu: bool | None = None):
+                     interpret: bool = False, kmul_mode: str | None = None):
     """fn(x1,y1,z1,t1, x2,y2,z2,t2, skip) -> (x,y,z,t); limb-major planes.
-    `use_mxu` routes the 9 multiplies through the exact-f32 MXU form."""
+    `kmul_mode` selects the multiply schedule for the 9 multiplies."""
     from ..curve import te as te_mod
     f = curve.field
     n = f.n_limbs
     assert n_lanes % tile == 0
     k_int = te_mod.te_params(curve).k
-    if use_mxu is None:
-        use_mxu = _mxu_enabled()
-    if use_mxu:
+    if kmul_mode is None:
+        kmul_mode = _kmul_mode()
+    if kmul_mode == "mxu":
         smat_np, fmat_np, _, _ = fk.mxu_tables(f)
+        extra_np = (smat_np, fmat_np)
+    elif kmul_mode == "hybrid":
+        _, fmat_np, _, _ = fk.mxu_tables(f)
+        extra_np = (fmat_np,)
+    else:
+        extra_np = ()
 
     def kernel(*refs):
         (ft_ref, neg2_ref, kcol_ref, x2_ref, y2_ref, z2_ref, t2_ref,
          skip_ref, x_ref, y_ref, z_ref, t_ref) = refs[:12]
         ox_ref, oy_ref, oz_ref, ot_ref = refs[-4:]
-        if use_mxu:
+        if kmul_mode == "mxu":
             smat, fmat = refs[12][...], refs[13][...]
             ftv = ft_ref[...]
             km = lambda u, v: fk.kmul_mxu(f, u, v, smat, fmat, ftv)
+        elif kmul_mode == "hybrid":
+            fmat = refs[12][...]
+            ftv = ft_ref[...]
+            km = lambda u, v: fk.kmul_hybrid(f, u, v, fmat, ftv)
         else:
             km = None
         x, y, z, t = _te_full_add_body(
@@ -812,13 +827,8 @@ def make_te_full_add(curve: CurveSpec, n_lanes: int, tile: int,
     in_specs = [ft_spec, neg2_spec := col_spec, col_spec,
                 lane_spec, lane_spec, lane_spec, lane_spec, mask_spec,
                 lane_spec, lane_spec, lane_spec, lane_spec]
-    if use_mxu:
-        in_specs += [
-            pl.BlockSpec(smat_np.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(fmat_np.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+    in_specs += [pl.BlockSpec(m.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM) for m in extra_np]
     call = pl.pallas_call(
         kernel,
         grid=(n_lanes // tile,),
@@ -833,8 +843,7 @@ def make_te_full_add(curve: CurveSpec, n_lanes: int, tile: int,
     kcol_np = np.asarray(limbs_from_int(k_int, n), np.uint32)[:, None]
 
     def fn(x1, y1, z1, t1, x2, y2, z2, t2, skip):
-        extra = ((jnp.asarray(smat_np), jnp.asarray(fmat_np))
-                 if use_mxu else ())
+        extra = tuple(jnp.asarray(m) for m in extra_np)
         return call(jnp.asarray(ft_np), jnp.asarray(neg2_np),
                     jnp.asarray(kcol_np), x2, y2, z2, t2, skip,
                     x1, y1, z1, t1, *extra)
