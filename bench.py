@@ -75,12 +75,15 @@ def bench_ntt():
     log(f"all 2^{logn} outputs verified vs the generic engine")
 
     iters = int(os.environ.get("BENCH_ITERS", "5"))
-    t0 = time.time()
+    times = []
     for _ in range(iters):
+        t0 = time.time()
         olo, ohi = gl_kernel.ntt_fourstep_packed(l1, l2, alo, ahi)
         jax.device_get(olo[0])
-    dt = (time.time() - t0) / iters * 1e3
-    log(f"steady-state: {dt:.1f} ms per NTT")
+        times.append(time.time() - t0)
+    dt = sum(times) / iters * 1e3
+    log(f"steady-state: {dt:.1f} ms per NTT "
+        f"(min {min(times)*1e3:.1f} / max {max(times)*1e3:.1f} ms)")
     # baseline: 2.47 ms (supranational FPGA, 2^24)
     print(json.dumps({"metric": f"goldilocks_ntt_2^{logn}_ms",
                       "value": dt, "unit": "ms",
@@ -326,15 +329,19 @@ def main():
     import contextlib
     prof = (jax.profiler.trace(prof_dir) if prof_dir
             else contextlib.nullcontext())
-    t0 = time.time()
+    times = []
     with prof:
         for k in range(iters):
+            t0 = time.time()
             res = pippenger.msm(curve, points, batches[k], c=c,
                                 prepared=prepared)
             sync(res)
-    dt = (time.time() - t0) / iters
+            times.append(time.time() - t0)
+    dt = sum(times) / iters
     pts_per_s = n / dt
-    log(f"steady-state: {dt*1e3:.1f} ms per MSM -> {pts_per_s:.3e} points/s")
+    log(f"steady-state: {dt*1e3:.1f} ms per MSM -> {pts_per_s:.3e} points/s "
+        f"(min {min(times)*1e3:.1f} / max {max(times)*1e3:.1f} ms, "
+        f"{iters} iters)")
 
     print(json.dumps({
         "metric": f"bls12_377_msm_points_per_s_2^{npow}",

@@ -1,6 +1,9 @@
 #!/bin/bash
 # Sequential TPU measurement sweep (single chip — never run two TPU
 # processes concurrently).  Appends to $LOG; sections marked with @@@.
+# Ordered by decision value: kernel-mode A/B first (picks the ZPRIZE_KMUL
+# default), then the headline MSM + phase profile, NTT, scale runs, prover
+# metrics — so a late backend recovery still yields the key data.
 set -u
 LOG=${LOG:-/tmp/tpu_sweep.log}
 cd "$(dirname "$0")/.."
@@ -14,16 +17,16 @@ run() {
 }
 
 run "kernel-microbench-mxu" 1800 env ZPRIZE_KMUL=mxu python scripts/microbench_te_kernel.py
-run "kernel-microbench-vpu" 1800 env ZPRIZE_KMUL=vpu python scripts/microbench_te_kernel.py
 run "kernel-microbench-hybrid" 1800 env ZPRIZE_KMUL=hybrid python scripts/microbench_te_kernel.py
+run "kernel-microbench-vpu" 1800 env ZPRIZE_KMUL=vpu python scripts/microbench_te_kernel.py
 run "msm-2^18" 2400 python bench.py
 run "msm-2^18-hybrid" 2400 env ZPRIZE_KMUL=hybrid python bench.py
-run "msm-2^18-vpu" 2400 env ZPRIZE_KMUL=vpu python bench.py
-run "msm-2^20" 2700 env BENCH_NPOW=20 python bench.py
-run "msm-2^24" 5400 env BENCH_NPOW=24 python bench.py
-run "profile-msm-2^20" 2400 env BENCH_NPOW=20 python scripts/profile_msm_te.py
+run "profile-msm-2^18" 2400 python scripts/profile_msm_te.py
 run "ntt-profile" 1800 python scripts/profile_ntt.py
 run "ntt-bench" 1800 env BENCH_METRIC=ntt python bench.py
+run "msm-2^20" 2700 env BENCH_NPOW=20 python bench.py
+run "msm-2^24" 5400 env BENCH_NPOW=24 BENCH_ITERS=2 python bench.py
 run "plonk-bench" 5400 env BENCH_METRIC=plonk python bench.py
 run "posw-bench" 3600 env BENCH_METRIC=posw python bench.py
+run "msm-2^26" 7200 env BENCH_NPOW=26 BENCH_ITERS=1 python bench.py
 echo "@@@ SWEEP DONE $(date -u +%H:%M:%S)" >> "$LOG"
