@@ -254,15 +254,23 @@ def main():
             else ec_ref.random_subgroup_points(curve, n_base, seed=seed))
     log(f"generated {n_base} base points in {time.time()-t0:.1f}s")
     reps = n // n_base
-    bx = fp.from_ints(curve.field, [p[0] for p in base])
-    by = fp.from_ints(curve.field, [p[1] for p in base])
-    px = jnp.tile(bx, (reps, 1))
-    py = jnp.tile(by, (reps, 1))
+    # pre-init point planes stay HOST-side (numpy): at 2^26 the affine
+    # planes are 14 GB — the TE init consumes them in blocks, and the MSM
+    # itself never reads them (only the precompute table + inf lanes)
+    bxn = np.asarray(jax.device_get(fp.from_ints(curve.field,
+                                                 [p[0] for p in base])))
+    byn = np.asarray(jax.device_get(fp.from_ints(curve.field,
+                                                 [p[1] for p in base])))
+    px = np.tile(bxn, (reps, 1))
+    py = np.tile(byn, (reps, 1))
     pinf = jnp.zeros((n,), bool)
     points = sw.Affine(px, py, pinf)
 
     scalars_int = [rng.randrange(curve.order) for _ in range(n)]
-    s = fp.from_ints(curve.scalar, scalars_int)
+    # compact canonical scalar planes (uint16): half the HBM, accepted
+    # directly by the digit extraction (part of the 2^26 memory plan)
+    s = fp.compact_scalars(curve.scalar,
+                           fp.from_ints(curve.scalar, scalars_int))
 
     c = int(c_env) if c_env else None
 
@@ -281,12 +289,15 @@ def main():
         c = prepared.c
         log(f"prepared: c={c} G={prepared.g} m={prepared.m} "
             f"table={prepared.packed.nbytes / 1e9:.2f} GB")
-        # the TE path reads only points.inf — free the affine planes
-        # (≈3.5 GB at 2^24) for the MSM working set
+        # the TE path reads only points.inf — drop the host affine planes
         points = sw.Affine(px[:1], py[:1], pinf)
         del px, py
-    elif c is None:
-        c = pippenger.default_window_bits(n)
+    else:
+        # short-Weierstrass fallback reads the affine planes on device
+        points = sw.Affine(jnp.asarray(px), jnp.asarray(py), pinf)
+        del px, py
+        if c is None:
+            c = pippenger.default_window_bits(n)
     log(f"point preprocessing (untimed init): {time.time()-t0:.1f}s")
     log(f"msm: n=2^{npow} c={c}")
 
@@ -321,9 +332,11 @@ def main():
     # steady-state over DISTINCT scalar batches (the reference's batched
     # workload: 4 x 2^26 over one prepared point set, benches/msm.rs:13-46)
     iters = int(os.environ.get("BENCH_ITERS", "3"))
-    batches = [s] + [fp.from_ints(curve.scalar,
-                                  [rng.randrange(curve.order)
-                                   for _ in range(n)])
+    batches = [s] + [fp.compact_scalars(
+                         curve.scalar,
+                         fp.from_ints(curve.scalar,
+                                      [rng.randrange(curve.order)
+                                       for _ in range(n)]))
                      for _ in range(iters - 1)]
     prof_dir = os.environ.get("BENCH_PROFILE")
     import contextlib

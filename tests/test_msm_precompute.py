@@ -79,3 +79,42 @@ def test_plan_collapse_respects_budget():
                                          budget_bytes=1 << 40)
     assert g2 * m2 >= pippenger.num_windows(CURVE, c2)
     assert g2 <= 4
+
+
+def test_prepare_points_blocked_writes(fixture_points, monkeypatch):
+    """prepare_points' donated block-write table assembly (the 2^26 memory
+    plan: no 2x-table concatenate peak): multi-block m>1 and m=1 paths
+    match the single-block result and the oracle."""
+    aff, s, exp = fixture_points
+    monkeypatch.setenv("ZPRIZE_PRECOMPUTE", "1")
+    monkeypatch.setenv("ZPRIZE_PREP_BLOCK_LOG", "4")    # 16-point blocks
+    prep_b = pippenger.prepare_points(CURVE, aff)
+    monkeypatch.setenv("ZPRIZE_PREP_BLOCK_LOG", "18")   # one block
+    prep_1 = pippenger.prepare_points(CURVE, aff)
+    assert (prep_b.c, prep_b.g, prep_b.m) == (prep_1.c, prep_1.g, prep_1.m)
+    # rows hold normal-form limbs whose redundant representatives depend on
+    # the batch_inv grouping — compare canonical VALUES, not bits
+    import numpy as np
+    f = CURVE.field
+    h = (f.n_limbs + 1) // 2
+
+    def canon_rows(packed):
+        w = np.asarray(packed)[:, :3 * h]
+        out = []
+        for q in range(3):                 # coord q: words [q*h, (q+1)*h)
+            wq = w[:, q * h:(q + 1) * h]
+            limbs = np.concatenate([wq & 0xFFFF, wq >> 16],
+                                   axis=1)[:, :f.n_limbs]
+            out.append(np.asarray(jax.device_get(
+                fp.to_canonical(f, jnp.asarray(limbs.astype(np.uint32))))))
+        return np.stack(out, axis=1)
+
+    import jax
+    assert np.array_equal(canon_rows(prep_b.packed),
+                          canon_rows(prep_1.packed))
+    for prep in (prep_b, prep_1):
+        res = pippenger.msm(CURVE, aff, s, prepared=prep)
+        a = sw.to_affine(CURVE, res)
+        got = (int(fp.to_ints(CURVE.field, a.x)[()]),
+               int(fp.to_ints(CURVE.field, a.y)[()]))
+        assert got == exp

@@ -88,7 +88,12 @@ def signed_digits_range(curve: CurveSpec, c: int, w0: int, w1: int,
 
 def _signed_digits_range(curve: CurveSpec, c: int, w0: int, w1: int,
                          scalars, carry_in):
-    s = fp.to_canonical(curve.scalar, scalars)  # limbs < 2**15
+    if scalars.dtype == jnp.uint16:
+        # compact canonical planes (fp.compact_scalars): 2 bytes/limb,
+        # canonical by contract — halves the scalar HBM at 2^26 scale
+        s = scalars
+    else:
+        s = fp.to_canonical(curve.scalar, scalars)  # limbs < 2**15
     pad = [(0, 0)] * (s.ndim - 1) + [(0, 2)]
     s = jnp.pad(s, pad)
     digits = []
@@ -98,7 +103,8 @@ def _signed_digits_range(curve: CurveSpec, c: int, w0: int, w1: int,
     for w in range(w0, w1):
         start = w * c
         i0, sh = divmod(start, BASE_BITS)
-        word = s[..., i0] | (s[..., i0 + 1] << BASE_BITS)
+        word = (s[..., i0].astype(jnp.uint32)
+                | (s[..., i0 + 1].astype(jnp.uint32) << BASE_BITS))
         raw = ((word >> sh) & ((1 << c) - 1)).astype(jnp.int32) + carry
         over = raw >= half
         digits.append(jnp.where(over, raw - (1 << c), raw))
@@ -288,6 +294,13 @@ def plan_collapse(curve: CurveSpec, n: int, c: int | None = None,
     return best[1], best[2], best[3]
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _write_block(table, block, lo):
+    """In-place (donated) block write into the (m, n, W) precompute table."""
+    return jax.lax.dynamic_update_slice(
+        table, block, (jnp.int32(0), lo, jnp.int32(0)))
+
+
 def prepare_points(curve: CurveSpec, points: sw.Affine,
                    c: int | None = None,
                    collapse: bool | None = None) -> "PreparedTe | None":
@@ -316,7 +329,8 @@ def prepare_points(curve: CurveSpec, points: sw.Affine,
     # default block 2^18: the m~18-multiple doubling-chain scan holds ~7 GB
     # of HLO temps per 2^18 block (measured: 28.6 GB at one 2^20 block)
     block = min(n, 1 << int(os.environ.get("ZPRIZE_PREP_BLOCK_LOG", "18")))
-    packs, bads = [], []
+    packed = None
+    bads = []
     for lo in range(0, n, block):
         hi = min(n, lo + block)
         px, py, pinf = (points.x[lo:hi], points.y[lo:hi], points.inf[lo:hi])
@@ -326,19 +340,20 @@ def prepare_points(curve: CurveSpec, points: sw.Affine,
             pk_b = pk_b.reshape(m, hi - lo, pk_b.shape[-1])
         else:
             pk_b, bad_b = te_path.prepare_points(curve, px, py, pinf)
+            pk_b = pk_b[None]
         if hi - lo < n:
             # force completion before enqueueing the next chunk: the async
             # dispatch queue would otherwise hold every chunk's HLO temps
             # live at once (OOM at 2^24); device_get, not block_until_ready
             # (the latter does not await remote execution on axon)
             jax.device_get(bad_b)
-        packs.append(pk_b)
+        if packed is None:
+            # donated in-place block writes: concatenating the block list
+            # would hold 2x the table (21 GB at 2^26 m=1) at peak
+            packed = jnp.zeros((m, n, pk_b.shape[-1]), pk_b.dtype)
+        packed = _write_block(packed, pk_b, jnp.int32(lo))
         bads.append(bad_b)
-    if m > 1:
-        packed = jnp.concatenate(packs, axis=1).reshape(
-            m * n, packs[0].shape[-1])
-    else:
-        packed = packs[0] if len(packs) == 1 else jnp.concatenate(packs)
+    packed = packed.reshape(m * n, packed.shape[-1])
     bad = jnp.any(jnp.stack(bads))
     if bool(np.asarray(jax.device_get(bad))):
         raise ValueError(
