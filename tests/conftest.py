@@ -26,8 +26,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # dedicated tests opt in explicitly via prepare_points(..., collapse=True).
 os.environ.setdefault("ZPRIZE_PRECOMPUTE", "0")
 
-# Persistent compilation cache: repeated suite runs skip recompiles.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zprize_tpu_jax_cache")
+# Persistent compilation cache: repeated suite runs skip recompiles.  Keyed
+# by a CPU fingerprint — the session VM can migrate to a different CPU model
+# mid-round, and XLA:CPU AOT entries from another machine SIGILL on load.
+def _cpu_tag() -> str:
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as fh:
+            info = [ln for ln in fh.read().splitlines()
+                    if ln.startswith(("model name", "flags"))][:2]
+        return hashlib.sha1("\n".join(info).encode()).hexdigest()[:10]
+    except OSError:
+        return "generic"
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      f"/tmp/zprize_tpu_jax_cache_{_cpu_tag()}")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
