@@ -24,6 +24,8 @@ run "msm-2^18-hybrid" 2400 env ZPRIZE_KMUL=hybrid python bench.py
 run "profile-msm-2^18" 2400 python scripts/profile_msm_te.py
 run "ntt-profile" 1800 python scripts/profile_ntt.py
 run "ntt-bench" 1800 env BENCH_METRIC=ntt python bench.py
+run "ntt-bench-tile512" 1800 env BENCH_METRIC=ntt ZPRIZE_NTT_TILE=512 python bench.py
+run "ntt-bench-tile1024" 1800 env BENCH_METRIC=ntt ZPRIZE_NTT_TILE=1024 python bench.py
 run "msm-2^20" 2700 env BENCH_NPOW=20 python bench.py
 run "msm-2^24" 5400 env BENCH_NPOW=24 BENCH_ITERS=2 python bench.py
 run "plonk-bench" 5400 env BENCH_METRIC=plonk python bench.py

@@ -137,13 +137,22 @@ def _ntt_axis0(log_n: int, xlo, xhi, inverse: bool, tile: int,
     return r_lo.reshape(n1 * n2, n_batch), r_hi.reshape(n1 * n2, n_batch)
 
 
+def _default_tile() -> int:
+    """Lane-tile width for the fused NTT kernel (env A/B knob; the MSM
+    kernels run 512 — the 128 default here predates that measurement)."""
+    import os
+    return int(os.environ.get("ZPRIZE_NTT_TILE", "128"))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def ntt_packed(log_n: int, xlo: jax.Array, xhi: jax.Array,
-               inverse: bool = False, tile: int = 128,
+               inverse: bool = False, tile: int | None = None,
                interpret: bool = False):
     """Forward/inverse NTT over axis 0 of packed (n, B) planes.
     Inverse includes the 1/n scale.  Jitted end-to-end (the table caches
     hold numpy, so tracing never leaks)."""
+    if tile is None:
+        tile = _default_tile()
     n, n_batch = xlo.shape
     assert n == 1 << log_n
     olo, ohi = _ntt_axis0(log_n, xlo, xhi, inverse, tile, interpret)
