@@ -109,6 +109,16 @@ class Sponge:
         self.state = fp.zeros(cfg.spec, (*batch_shape, cfg.t))
         self.mode = ("absorbing", 0)
 
+    def clone(self) -> "Sponge":
+        """Snapshot of the duplex state (device arrays are immutable, so a
+        shallow copy suffices) — lets callers cache a common absorbed
+        prefix (e.g. a verifying key) and fork per proof."""
+        s = object.__new__(Sponge)
+        s.cfg = self.cfg
+        s.state = self.state
+        s.mode = self.mode
+        return s
+
     def _permute(self):
         self.state = permute(self.cfg, self.state)
 

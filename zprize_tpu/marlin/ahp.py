@@ -39,7 +39,7 @@ from ..field import fp
 from ..ntt.domain import Domain
 from ..ntt.radix2 import intt, ntt
 from ..pcs import kzg
-from ..plonk.transcript import Transcript
+from ..plonk.transcript import Transcript, vk_transcript
 from ..poly import ops as poly_ops
 from .indexer import IndexProverKey, IndexVerifierKey, IndexedMatrix
 
@@ -192,8 +192,8 @@ def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
         slot_vals[int(s)] = v % p
     z_evals = fp.from_ints(fr, slot_vals)
 
-    tr = Transcript(curve, label=0x4D41524C494E)     # "MARLIN"
-    _absorb_vk(tr, pk.vk)
+    tr = vk_transcript(curve, pk.vk, label=0x4D41524C494E,   # "MARLIN"
+                       absorb=_absorb_vk)            # cached post-VK prefix
     for v in public:
         tr.absorb_fr(fp.constant(fr, v))
 
@@ -366,8 +366,7 @@ def _verify_checks(vk: IndexVerifierKey, srs: kzg.Srs, public: list[int],
     if len(public) > xsz or (public and public[0] != 1):
         return None
 
-    tr = Transcript(curve, label=0x4D41524C494E)
-    _absorb_vk(tr, vk)
+    tr = vk_transcript(curve, vk, label=0x4D41524C494E, absorb=_absorb_vk)
     for v in public:
         tr.absorb_fr(fp.constant(fr, v % p))
     try:

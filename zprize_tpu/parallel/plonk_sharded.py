@@ -46,7 +46,7 @@ from ..ntt.domain import Domain
 from ..ntt.fourstep import twiddle_matrix
 from ..ntt.radix2 import intt, ntt
 from ..plonk.prover import OPEN_ORDER, Proof, ProvingKey
-from ..plonk.transcript import Transcript
+from ..plonk.transcript import Transcript, vk_transcript
 from ..poly import ops as poly_ops
 from .msm_sharded import msm_sharded
 
@@ -453,8 +453,7 @@ class ShardedProver:
         wires = jax.device_put(
             wires, NamedSharding(self.mesh, P(None, self.axis, None)))
 
-        transcript = Transcript(curve)
-        transcript.absorb_vk(pk.vk)
+        transcript = vk_transcript(curve, pk.vk)   # cached post-VK prefix
         for v in public:
             transcript.absorb_fr(fp.constant(fr, v))
 

@@ -37,7 +37,7 @@ from ..ntt.radix2 import intt, ntt
 from ..pcs import kzg
 from ..poly import ops as poly_ops
 from .circuit import CompiledCircuit
-from .transcript import Transcript
+from .transcript import Transcript, vk_transcript
 
 
 @dataclasses.dataclass
@@ -179,8 +179,7 @@ def prove_planes(pk: ProvingKey, wires: jax.Array, public: list[int],
     p = fr.p
     brng = blinding_rng if blinding_rng is not None else _random.SystemRandom()
 
-    transcript = Transcript(curve)
-    transcript.absorb_vk(pk.vk)
+    transcript = vk_transcript(curve, pk.vk)   # cached post-VK prefix
     for v in public:
         transcript.absorb_fr(fp.constant(fr, v))
 

@@ -65,3 +65,28 @@ class Transcript:
     def challenge(self):
         """One Fr challenge (a squeezed sponge element)."""
         return self.sponge.squeeze(1)[0]
+
+    def clone(self) -> "Transcript":
+        """Fork the transcript at its current state (shared immutable
+        device arrays; cheap)."""
+        t = object.__new__(Transcript)
+        t.curve, t.fr = self.curve, self.fr
+        t.sponge = self.sponge.clone()
+        return t
+
+
+def vk_transcript(curve: CurveSpec, vk, label: int = 0x504C4F4E4B,
+                  absorb=None) -> Transcript:
+    """Transcript forked from a cached post-VK prefix: the VK absorption
+    (point normalizations + sponge permutations) is identical for every
+    proof under one key, so it runs once per VK object.  `absorb` overrides
+    the prefix-absorption function (default `Transcript.absorb_vk`);
+    byte-for-byte equivalent to building a fresh transcript and absorbing
+    the VK."""
+    cached = getattr(vk, "_transcript_prefix", None)
+    if cached is None or cached[0] != label:
+        tr = Transcript(curve, label=label)
+        (absorb or Transcript.absorb_vk)(tr, vk)
+        cached = (label, tr)
+        object.__setattr__(vk, "_transcript_prefix", cached)
+    return cached[1].clone()

@@ -18,7 +18,7 @@ from ..field import fp
 from ..pcs import kzg
 from ..poly import ops as poly_ops
 from .prover import OPEN_ORDER, Proof, VerifyingKey
-from .transcript import Transcript
+from .transcript import Transcript, vk_transcript
 
 
 def _points_valid(vk: VerifyingKey, proof: Proof) -> bool:
@@ -54,8 +54,7 @@ def verify(vk: VerifyingKey, srs: kzg.Srs, proof: Proof,
         return False
 
     # --- replay the transcript -------------------------------------------
-    tr = Transcript(curve)
-    tr.absorb_vk(vk)
+    tr = vk_transcript(curve, vk)              # cached post-VK prefix
     for v in public:
         tr.absorb_fr(fp.constant(fr, v))
     for cm in proof.wire_comms:
