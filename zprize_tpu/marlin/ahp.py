@@ -97,17 +97,21 @@ def _vanishing_inv_on_coset(fr, m: int, dom_big: Domain, g: int):
 
 def _div_vanishing(fr, coeffs: jax.Array, m: int):
     """(q, r) with coeffs = q * (X^m - 1) + r, deg r < m; the strided
-    suffix-sum closed form q_i = sum_{j>=1} c_{i+jm}."""
-    nc = coeffs.shape[0]
+    suffix-sum closed form q_i = sum_{j>=1} c_{i+jm}.  Batch-general over
+    leading dims of an (..., n, L) plane."""
+    nc = coeffs.shape[-2]
+    lead = coeffs.shape[:-2]
     if nc <= m:
-        return fp.zeros(fr, (1,)), poly_ops.pad_to(fr, coeffs, m)
+        return (fp.zeros(fr, lead + (1,)),
+                poly_ops.pad_to(fr, coeffs, m))
     rows = -(-nc // m)
-    c = poly_ops.pad_to(fr, coeffs, rows * m).reshape(rows, m, -1)
+    c = poly_ops.pad_to(fr, coeffs, rows * m).reshape(
+        lead + (rows, m, coeffs.shape[-1]))
     inc = jax.lax.associative_scan(lambda a, b: fp.add(fr, a, b), c,
-                                   axis=0, reverse=True)
+                                   axis=-3, reverse=True)
     exc = fp.sub(fr, inc, c)                         # exclusive suffix
-    q = exc.reshape(rows * m, -1)[:nc - m]
-    rem = fp.add(fr, c[0], exc[0])
+    q = exc.reshape(lead + (rows * m, coeffs.shape[-1]))[..., :nc - m, :]
+    rem = fp.add(fr, c[..., 0, :, :], exc[..., 0, :, :])
     return q, rem
 
 
@@ -167,7 +171,15 @@ def _challenge_int(tr: Transcript, curve) -> int:
 
 def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
     """assignment: full variable assignment (public prefix incl. leading 1).
-    Returns a proof verifiable by `verify` with the real pairing check."""
+    Returns a proof verifiable by `verify` with the real pairing check.
+
+    Host-sync discipline (the axon tunnel costs ~30 ms per device->host
+    round-trip): commitments, sigmas and evaluations stay DEVICE-resident
+    through all rounds — absorbed into the transcript as device planes
+    (value-equal mod p regardless of representative; `fp.to_ints`
+    canonicalizes) — and convert to host ints in ONE batched sync at the
+    end.  Only the 6 per-round challenges round-trip individually (their
+    O(1) host math needs python ints)."""
     curve, fr = pk.curve, pk.curve.scalar
     p = fr.p
     r1 = pk.r1cs
@@ -181,8 +193,7 @@ def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
     cl = pk.commit_len
 
     def com(coeffs):
-        return kzg.point_ints(curve, kzg.commit(
-            srs, poly_ops.pad_to(fr, coeffs, cl)))
+        return kzg.commit(srs, poly_ops.pad_to(fr, coeffs, cl))
 
     public = [v % p for v in assignment[:r1.num_public]]
 
@@ -208,9 +219,9 @@ def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
     zb_coeffs = intt(dom_h, z_m["b"])
 
     comms = {"w": com(w_coeffs), "z_a": com(za_coeffs),
-             "z_b": com(zb_coeffs)}
+             "z_b": com(zb_coeffs)}                  # device points
     for name in ("w", "z_a", "z_b"):
-        _absorb_host_point(tr, curve, comms[name])
+        tr.absorb_point(comms[name])
     alpha = _challenge_int(tr, curve)
     etas = {m: _challenge_int(tr, curve) for m in M_NAMES}
 
@@ -243,8 +254,8 @@ def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
     g1_coeffs = rem[1:]                              # rem = X g_1 (sum = 0)
     comms["g_1"] = com(g1_coeffs)
     comms["h_1"] = com(h1_coeffs)
-    _absorb_host_point(tr, curve, comms["g_1"])
-    _absorb_host_point(tr, curve, comms["h_1"])
+    tr.absorb_point(comms["g_1"])
+    tr.absorb_point(comms["h_1"])
     beta = _challenge_int(tr, curve)
 
     # ---- round 3: inner sumcheck over K per matrix ----------------------
@@ -259,13 +270,12 @@ def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
                      fp.sub(fr, fp.constant(fr, beta), im.col_e))
         f = fp.mul(fr, fp.mul(fr, fp.constant(fr, c_ab), im.val),
                    fp.batch_inv(fr, den))
-        # sigma = sum_K f  (tree)
+        # sigma = sum_K f  (tree); stays a device plane until the final sync
         sig = f
         while sig.shape[0] > 1:
             half = sig.shape[0] // 2
             sig = fp.add(fr, sig[:half], sig[half:])
-        sigma_int = kzg.fr_int(curve, sig[0])
-        sigmas[m] = sigma_int
+        sigmas[m] = sig[0]
         f_coeffs = intt(dom_k, f)
         g_m = f_coeffs[1:]                           # f = sigma/|K| + X g
         # h_M = (a - b (X g + sigma/|K|)) / v_K   on the 4K coset
@@ -281,9 +291,9 @@ def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
         g_polys[m], h_polys[m] = g_m, h_m
         comms[f"{m}_g"] = com(g_m)
         comms[f"{m}_h"] = com(h_m)
-        _absorb_host_point(tr, curve, comms[f"{m}_g"])
-        _absorb_host_point(tr, curve, comms[f"{m}_h"])
-        tr.absorb_fr(fp.constant(fr, sigma_int))
+        tr.absorb_point(comms[f"{m}_g"])
+        tr.absorb_point(comms[f"{m}_h"])
+        tr.absorb_fr(sigmas[m])
     delta = _challenge_int(tr, curve)
 
     # ---- round 4: evaluations + batched openings ------------------------
@@ -298,36 +308,54 @@ def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
         k_polys_delta[f"{m}_g"] = g_polys[m]
         k_polys_delta[f"{m}_h"] = h_polys[m]
 
-    evals = {}
     h_stack = jnp.stack([poly_ops.pad_to(fr, h_polys_beta[nm], cl)
                          for nm in H_OPEN])
     ev_b = poly_ops.evaluate(fr, h_stack, fp.constant(fr, beta))
-    for i, name in enumerate(H_OPEN):
-        evals[name] = kzg.fr_int(curve, ev_b[i])
     k_stack = jnp.stack([poly_ops.pad_to(fr, k_polys_delta[nm], cl)
                          for nm in K_OPEN])
     ev_d = poly_ops.evaluate(fr, k_stack, fp.constant(fr, delta))
-    for i, name in enumerate(K_OPEN):
-        evals[name] = kzg.fr_int(curve, ev_d[i])
-    for name in H_OPEN + K_OPEN:
-        tr.absorb_fr(fp.constant(fr, evals[name]))
-    u_beta = _challenge_int(tr, curve)
-    u_delta = _challenge_int(tr, curve)
+    for i in range(len(H_OPEN)):
+        tr.absorb_fr(ev_b[i])
+    for i in range(len(K_OPEN)):
+        tr.absorb_fr(ev_d[i])
+    u_beta = tr.challenge()                          # device planes
+    u_delta = tr.challenge()
 
     def batch_open(polys, order, point, u):
-        combined, upow = None, 1
-        for nm in order:
-            term = fp.mul(fr, poly_ops.pad_to(fr, polys[nm], cl),
-                          fp.constant(fr, upow))
-            combined = term if combined is None else fp.add(fr, combined,
-                                                            term)
-            upow = upow * u % p
+        stacked = jnp.stack([poly_ops.pad_to(fr, polys[nm], cl)
+                             for nm in order])       # (B, cl, L)
+        upows = poly_ops.powers(fr, u, len(order))   # (B, L)
+        terms = fp.mul(fr, stacked, upows[:, None, :])
+        combined = terms[0]
+        for i in range(1, len(order)):
+            combined = fp.add(fr, combined, terms[i])
         q, _ = poly_ops.divide_linear(fr, combined, fp.constant(fr, point))
         return com(q)
 
     open_beta = batch_open(h_polys_beta, H_OPEN, beta, u_beta)
     open_delta = batch_open(k_polys_delta, K_OPEN, delta, u_delta)
-    return MarlinProof(comms, sigmas, evals, open_beta, open_delta)
+
+    # ---- single batched host sync (proof materialization) ---------------
+    names = list(comms)
+    pts = [comms[nm] for nm in names] + [open_beta, open_delta]
+    stacked_pts = sw.Point(jnp.stack([q.x for q in pts]),
+                           jnp.stack([q.y for q in pts]),
+                           jnp.stack([q.z for q in pts]))
+    aff = sw.to_affine(curve, stacked_pts)
+    xs = fp.to_ints(curve.field, aff.x)
+    ys = fp.to_ints(curve.field, aff.y)
+    infs = np.asarray(jax.device_get(aff.inf))
+    host_pts = [None if infs[i] else (int(xs[i]), int(ys[i]))
+                for i in range(len(pts))]
+    comms_h = dict(zip(names, host_pts[:len(names)]))
+    open_beta_h, open_delta_h = host_pts[len(names):]
+    sig_ints = fp.to_ints(fr, jnp.stack([sigmas[m] for m in M_NAMES]))
+    sigmas_h = {m: int(sig_ints[i]) for i, m in enumerate(M_NAMES)}
+    evb_i = fp.to_ints(fr, ev_b)
+    evd_i = fp.to_ints(fr, ev_d)
+    evals = {nm: int(evb_i[i]) for i, nm in enumerate(H_OPEN)}
+    evals.update({nm: int(evd_i[i]) for i, nm in enumerate(K_OPEN)})
+    return MarlinProof(comms_h, sigmas_h, evals, open_beta_h, open_delta_h)
 
 
 # ---------------------------------------------------------------- verifier

@@ -723,6 +723,61 @@ def _msm_te_streamed(curve: CurveSpec, prepared: PreparedTe, inf, scalars,
                     fp.from_ints(f, [sz])[0])
 
 
+def msm_jit_batch(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
+                  c: int, cap_total: int,
+                  check_occupancy: bool = True) -> sw.Point:
+    """Batched fully-jittable MSM: scalars (B, n, L) against ONE shared
+    point set -> a (B,)-lane projective sw.Point.
+
+    The batch rides the WINDOW axis: digit planes stack to (B*n_win, n), so
+    one accumulate/merge pass serves every instance — the commit path for
+    batched provers (B proofs per dispatch; the TPU analog of the
+    reference's thread-per-proof loop, `simonatsn/README.md:88`).  Same
+    occupancy contract as `msm_jit_static`."""
+    bsz = scalars.shape[0]
+    n = points.x.shape[0]
+    n_win = num_windows(curve, c)
+    full_nbe = 1 << (c - 1)
+    digits = jax.vmap(
+        functools.partial(signed_digits, curve, c, n_win))(scalars)
+    digits = jnp.where(points.inf[None, None, :], 0, digits)
+    digits = digits.reshape(bsz * n_win, n)
+    perm, starts, counts, _ = bucket_counts_all(c, digits)
+    fine = _window_groups(curve, c, n_win, full_nbe)
+    groups: dict[int, list[int]] = {}
+    narrow = [(nbe, ws) for nbe, ws in fine.items() if nbe != full_nbe]
+    if full_nbe in fine:
+        groups[full_nbe] = fine[full_nbe]
+    if narrow:
+        nbe_max = max(nbe for nbe, _ in narrow)
+        groups[nbe_max] = sorted(w for _, ws in narrow for w in ws)
+    window_sums: list = [None] * (bsz * n_win)
+    for nbe, ws in sorted(groups.items(), reverse=True):
+        rows = [b * n_win + w for b in range(bsz) for w in ws]
+        jw = jnp.asarray(np.asarray(rows))
+        d_g, p_g = digits[jw], perm[jw]
+        s_g, c_g = starts[jw], counts[jw]
+        cap_g = cap_total if nbe == full_nbe else n
+        if check_occupancy and cap_g < n and nbe == full_nbe:
+            def _assert_cap(mc, cap=cap_g):
+                worst = int(np.max(mc))
+                if worst > cap:
+                    raise RuntimeError(
+                        f"msm_jit_batch: bucket occupancy {worst} exceeds "
+                        f"cap_total {cap}; result would drop points")
+            jax.debug.callback(_assert_cap,
+                               jnp.max(jnp.max(c_g[:, 1:nbe + 1], axis=1)))
+        sums = accumulate_pass_all(curve, c, cap_g, points.x, points.y,
+                                   d_g, p_g, s_g, c_g, n_buckets_eff=nbe)
+        merged = merge_buckets_all(curve, c, sums)
+        for k, r in enumerate(rows):
+            window_sums[r] = sw.Point(*(a[k] for a in merged))
+    stacked = sw.Point(*(jnp.stack([getattr(w, f) for w in window_sums]
+                                   ).reshape(bsz, n_win, -1)
+                         for f in ("x", "y", "z")))
+    return jax.vmap(functools.partial(combine_windows, curve, c))(stacked)
+
+
 def msm_jit_static(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
                    c: int, cap_total: int,
                    check_occupancy: bool = True) -> sw.Point:

@@ -86,6 +86,27 @@ def commit(srs: Srs, coeffs: jax.Array, c: int | None = None) -> sw.Point:
                          prepared=srs.prepared(n))
 
 
+def commit_batch(srs: Srs, coeffs: jax.Array, c: int | None = None,
+                 cap: int | None = None) -> sw.Point:
+    """Batched KZG commit: (B, n, L) coefficient planes -> (B,)-lane
+    projective commitments in ONE jittable pass (no host sync) via the
+    window-stacked batched MSM (`pippenger.msm_jit_batch`).  `cap` bounds
+    per-bucket occupancy (default 4x the uniform mean; a loud in-graph
+    check raises on overflow rather than dropping points)."""
+    import math
+    bsz, n = coeffs.shape[:2]
+    assert n <= srs.size, "polynomial larger than SRS"
+    points = sw.Affine(srs.g1_powers.x[:n], srs.g1_powers.y[:n],
+                       srs.g1_powers.inf[:n])
+    if c is None:
+        c = pippenger.default_window_bits(n)
+    if cap is None:
+        mean = max(1, n // (1 << (c - 1)))
+        cap = max(16, 1 << math.ceil(math.log2(mean * 4 + 8)))
+    return pippenger.msm_jit_batch(srs.curve, points, coeffs, c,
+                                   min(cap, n))
+
+
 def open_at(srs: Srs, coeffs: jax.Array, z: jax.Array):
     """Returns (witness commitment, evaluation y = p(z))."""
     curve = srs.curve

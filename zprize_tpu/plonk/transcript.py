@@ -74,6 +74,16 @@ class Transcript:
         t.sponge = self.sponge.clone()
         return t
 
+    def broadcast(self, batch: int) -> "Transcript":
+        """Fork into a (batch,)-lane transcript: each lane evolves as an
+        independent sponge (subsequent absorbs take (batch, L) planes,
+        challenges return (batch, L)).  Lane i's state is bit-identical to
+        an unbatched transcript fed lane i's absorb sequence."""
+        t = self.clone()
+        t.sponge.state = jnp.broadcast_to(
+            self.sponge.state, (batch,) + self.sponge.state.shape)
+        return t
+
 
 def vk_transcript(curve: CurveSpec, vk, label: int = 0x504C4F4E4B,
                   absorb=None) -> Transcript:
