@@ -195,14 +195,24 @@ def bench_posw():
     log(f"first proof (incl. compile): {time.time()-t0:.1f}s; verified")
 
     window = float(os.environ.get("BENCH_POSW_WINDOW_S", "20"))
-    t0 = time.time()
-    nonce, proofs = 1, 0
-    while time.time() - t0 < window:
-        sol = posw.mine(keys, header=42, target=BLS12_377_FR.p,
-                        start_nonce=nonce, max_nonces=1)
+    batch = int(os.environ.get("BENCH_POSW_BATCH", "8"))
+    if batch > 1:   # warm the batched-shape compile outside the window
+        t0 = time.time()
+        sol = posw.mine_batch(keys, header=42, target=BLS12_377_FR.p,
+                              start_nonce=1, max_nonces=batch, batch=batch)
         assert sol is not None
-        nonce += 1
-        proofs += 1
+        log(f"batched warm (B={batch}, incl. compile): {time.time()-t0:.1f}s")
+    t0 = time.time()
+    nonce, proofs = 1 + batch, 0
+    while time.time() - t0 < window:
+        # target=p accepts every proof, so each call proves exactly `batch`
+        # nonces (one prove_batch dispatch set) and returns
+        sol = posw.mine_batch(keys, header=42, target=BLS12_377_FR.p,
+                              start_nonce=nonce, max_nonces=batch,
+                              batch=batch)
+        assert sol is not None
+        nonce += batch
+        proofs += batch
     dt = time.time() - t0
     rate = proofs / dt * 20.0
     log(f"steady-state: {proofs} proofs in {dt:.1f}s -> {rate:.1f} /20s")

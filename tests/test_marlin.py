@@ -104,6 +104,21 @@ def test_marlin_batch_verify(setup, proof_of):
                                 rng=random.Random(6))
 
 
+def test_marlin_prove_batch_lanes(setup):
+    """B-lane batched prover: two different witnesses prove in one
+    dispatch set; each lane verifies independently, and lane proofs are
+    bit-identical to single-instance proofs (the lane-compatibility
+    contract of `ahp.prove_batch`)."""
+    r1, srs, pk, _ = setup
+    z3, z4 = witness_for(3), witness_for(4)
+    p3, p4 = ahp.prove_batch(pk, [z3, z4])
+    assert ahp.verify(pk.vk, srs, z3[:r1.num_public], p3)
+    assert ahp.verify(pk.vk, srs, z4[:r1.num_public], p4)
+    solo = ahp.prove(pk, z4)
+    assert (solo.comms, solo.sigmas, solo.evals) == (
+        p4.comms, p4.sigmas, p4.evals)
+
+
 def test_marlin_rejects_unsatisfied_witness(setup):
     r1, srs, pk, z = setup
     z_bad = list(z)

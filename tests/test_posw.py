@@ -37,8 +37,11 @@ def test_terminator_cancels_immediately():
 def test_mine_and_verify_work():
     keys = posw.setup()
     srs = keys.pk.srs
-    sol = posw.mine(keys, header=42, target=FR.p, max_nonces=1)
+    # batched miner (the bench path): 2 nonces in one prove_batch set
+    sol = posw.mine_batch(keys, header=42, target=FR.p, max_nonces=2,
+                          batch=2)
     assert sol is not None                    # target=p: first proof wins
+    assert sol["nonce"] == 0                  # first qualifying in order
     assert posw.verify_work(keys, srs, sol, FR.p)
     # tighten the target so this proof no longer qualifies
     d = posw.proof_difficulty(keys, sol["proof"])

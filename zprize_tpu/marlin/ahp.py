@@ -108,7 +108,7 @@ def _div_vanishing(fr, coeffs: jax.Array, m: int):
     c = poly_ops.pad_to(fr, coeffs, rows * m).reshape(
         lead + (rows, m, coeffs.shape[-1]))
     inc = jax.lax.associative_scan(lambda a, b: fp.add(fr, a, b), c,
-                                   axis=-3, reverse=True)
+                                   axis=c.ndim - 3, reverse=True)
     exc = fp.sub(fr, inc, c)                         # exclusive suffix
     q = exc.reshape(lead + (rows * m, coeffs.shape[-1]))[..., :nc - m, :]
     rem = fp.add(fr, c[..., 0, :, :], exc[..., 0, :, :])
@@ -172,17 +172,29 @@ def _challenge_int(tr: Transcript, curve) -> int:
 def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
     """assignment: full variable assignment (public prefix incl. leading 1).
     Returns a proof verifiable by `verify` with the real pairing check.
+    Single instance of `prove_batch`."""
+    return prove_batch(pk, [assignment])[0]
 
-    Host-sync discipline (the axon tunnel costs ~30 ms per device->host
-    round-trip): commitments, sigmas and evaluations stay DEVICE-resident
-    through all rounds — absorbed into the transcript as device planes
-    (value-equal mod p regardless of representative; `fp.to_ints`
-    canonicalizes) — and convert to host ints in ONE batched sync at the
-    end.  Only the 6 per-round challenges round-trip individually (their
-    O(1) host math needs python ints)."""
+
+def prove_batch(pk: IndexProverKey, assignments) -> list["MarlinProof"]:
+    """B-instance Marlin prover: every round's polynomial work and every
+    KZG commitment runs batched over the instance axis, with per-instance
+    Fiat-Shamir riding a (B,)-lane duplex sponge — ONE dispatch set serves
+    B proofs.  This is the TPU-first analog of the reference's
+    thread-per-proof mining loop (`simonatsn/README.md:88`: 1 thread =
+    1 proof; here 1 batch = B proofs on the vector units).
+
+    Host-sync discipline (the axon tunnel costs ~30 ms per round-trip):
+    challenges stay DEVICE planes (all challenge math — vanishing
+    evaluations, batched inverses, power ladders — is device arithmetic);
+    commitments ride the fully-jittable window-stacked batched MSM
+    (`kzg.commit_batch`); host ints materialize in one batched sync at the
+    end.  Lane i's transcript is bit-compatible with an unbatched prover
+    fed instance i (same absorb sequence, value-equal mod p)."""
     curve, fr = pk.curve, pk.curve.scalar
     p = fr.p
     r1 = pk.r1cs
+    bsz = len(assignments)
     n, ksz, xsz = 1 << pk.log_n, 1 << pk.log_k, 1 << pk.log_x
     dom_h, dom_k = Domain(fr, pk.log_n), Domain(fr, pk.log_k)
     dom_h4, dom_k4 = Domain(fr, pk.log_n + 2), Domain(fr, pk.log_k + 2)
@@ -192,26 +204,40 @@ def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
     srs = pk.srs
     cl = pk.commit_len
 
-    def com(coeffs):
-        return kzg.commit(srs, poly_ops.pad_to(fr, coeffs, cl))
+    def com(coeffs):                       # (B, deg, L) -> (B,)-lane points
+        return kzg.commit_batch(srs, poly_ops.pad_to(fr, coeffs, cl))
 
-    public = [v % p for v in assignment[:r1.num_public]]
+    def bpad(a):                           # shared/unbatched -> (B, cl, L)
+        a = poly_ops.pad_to(fr, a, cl)
+        if a.ndim == 2:
+            a = jnp.broadcast_to(a, (bsz,) + a.shape)
+        return a
 
-    # assignment -> slot order
-    slot_vals = [0] * n
-    for v, s in zip(assignment, pk.slot_of_var):
-        slot_vals[int(s)] = v % p
-    z_evals = fp.from_ints(fr, slot_vals)
+    publics = [[v % p for v in a[:r1.num_public]] for a in assignments]
+
+    # assignments -> slot order, (B, n) planes
+    slot_rows = []
+    for a in assignments:
+        sv = [0] * n
+        for v, s in zip(a, pk.slot_of_var):
+            sv[int(s)] = v % p
+        slot_rows.append(sv)
+    z_evals = fp.from_ints(fr, slot_rows)            # (B, n, L)
 
     tr = vk_transcript(curve, pk.vk, label=0x4D41524C494E,   # "MARLIN"
-                       absorb=_absorb_vk)            # cached post-VK prefix
-    for v in public:
-        tr.absorb_fr(fp.constant(fr, v))
+                       absorb=_absorb_vk).broadcast(bsz)
+    if r1.num_public:
+        pub_planes = fp.from_ints(fr, [list(col) for col in zip(*publics)])
+        for i in range(r1.num_public):
+            tr.absorb_fr(pub_planes[i])              # (B, L) per position
 
     # ---- round 1: witness oracles ---------------------------------------
-    z_m = {m: _matvec(fr, pk.matrices[m], z_evals, n) for m in ("a", "b")}
+    z_m = {m: jax.vmap(functools.partial(_matvec, fr, pk.matrices[m],
+                                         n=n))(z_evals)
+           for m in ("a", "b")}
     z_coeffs = intt(dom_h, z_evals)
-    x_evals = fp.from_ints(fr, public + [0] * (xsz - len(public)))
+    x_rows = [pub + [0] * (xsz - len(pub)) for pub in publics]
+    x_evals = fp.from_ints(fr, x_rows)               # (B, xsz, L)
     x_coeffs = intt(dom_x, x_evals)
     diff = fp.sub(fr, z_coeffs, poly_ops.pad_to(fr, x_coeffs, n))
     w_coeffs, _rem = _div_vanishing(fr, diff, xsz)   # exact by construction
@@ -219,22 +245,25 @@ def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
     zb_coeffs = intt(dom_h, z_m["b"])
 
     comms = {"w": com(w_coeffs), "z_a": com(za_coeffs),
-             "z_b": com(zb_coeffs)}                  # device points
+             "z_b": com(zb_coeffs)}                  # (B,)-lane points
     for name in ("w", "z_a", "z_b"):
         tr.absorb_point(comms[name])
-    alpha = _challenge_int(tr, curve)
-    etas = {m: _challenge_int(tr, curve) for m in M_NAMES}
+    alpha = tr.challenge()                           # (B, L) device planes
+    etas = {m: tr.challenge() for m in M_NAMES}
 
     # ---- round 2: outer sumcheck over H ---------------------------------
-    v_h_alpha = (pow(alpha, n, p) - 1) % p
+    one_b = fp.ones(fr, (bsz,))
+    vh_alpha = fp.sub(fr, fp.pow_const(fr, alpha, n), one_b)   # (B, L)
     h_elems = _h_pows(dom_h)
-    denom = fp.sub(fr, fp.constant(fr, alpha), h_elems)
-    r_vec = fp.mul(fr, fp.constant(fr, v_h_alpha),
-                   fp.batch_inv(fr, denom))          # u_H(alpha, .) on H
+    denom = fp.sub(fr, alpha[:, None, :], h_elems[None])       # (B, n, L)
+    inv_d = fp.batch_inv(fr, denom.reshape(bsz * n, -1)
+                         ).reshape(denom.shape)
+    r_vec = fp.mul(fr, vh_alpha[:, None, :], inv_d)  # u_H(alpha, .) on H
     t_evals = None
     for m in M_NAMES:
-        tm = _matvec_t(fr, pk.matrices[m], r_vec, n)
-        tm = fp.mul(fr, fp.constant(fr, etas[m]), tm)
+        tm = jax.vmap(functools.partial(_matvec_t, fr, pk.matrices[m],
+                                        n=n))(r_vec)
+        tm = fp.mul(fr, etas[m][:, None, :], tm)
         t_evals = tm if t_evals is None else fp.add(fr, t_evals, tm)
     r_coeffs = intt(dom_h, r_vec)
     t_coeffs = intt(dom_h, t_evals)
@@ -245,56 +274,56 @@ def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
     cza = _coset_ntt(fr, za_coeffs, dom_h4, g)
     czb = _coset_ntt(fr, zb_coeffs, dom_h4, g)
     summed = fp.add_many(fr, [
-        fp.mul(fr, fp.constant(fr, etas["a"]), cza),
-        fp.mul(fr, fp.constant(fr, etas["b"]), czb),
-        fp.mul(fr, fp.constant(fr, etas["c"]), fp.mul(fr, cza, czb))])
+        fp.mul(fr, etas["a"][:, None, :], cza),
+        fp.mul(fr, etas["b"][:, None, :], czb),
+        fp.mul(fr, etas["c"][:, None, :], fp.mul(fr, cza, czb))])
     q1_evals = fp.sub(fr, fp.mul(fr, cr, summed), fp.mul(fr, ct, cz))
     q1_coeffs = _coset_intt(fr, q1_evals, dom_h4, g)
     h1_coeffs, rem = _div_vanishing(fr, q1_coeffs, n)
-    g1_coeffs = rem[1:]                              # rem = X g_1 (sum = 0)
+    g1_coeffs = rem[..., 1:, :]                      # rem = X g_1 (sum = 0)
     comms["g_1"] = com(g1_coeffs)
     comms["h_1"] = com(h1_coeffs)
     tr.absorb_point(comms["g_1"])
     tr.absorb_point(comms["h_1"])
-    beta = _challenge_int(tr, curve)
+    beta = tr.challenge()
 
     # ---- round 3: inner sumcheck over K per matrix ----------------------
-    v_h_beta = (pow(beta, n, p) - 1) % p
-    c_ab = v_h_alpha * v_h_beta % p
-    k_inv = pow(ksz, p - 2, p)
+    vh_beta = fp.sub(fr, fp.pow_const(fr, beta, n), one_b)
+    c_ab = fp.mul(fr, vh_alpha, vh_beta)             # (B, L)
     sigmas, g_polys, h_polys = {}, {}, {}
     vk_inv4 = _vanishing_inv_on_coset(fr, ksz, dom_k4, g)
     for m in M_NAMES:
         im = pk.matrices[m]
-        den = fp.mul(fr, fp.sub(fr, fp.constant(fr, alpha), im.row_e),
-                     fp.sub(fr, fp.constant(fr, beta), im.col_e))
-        f = fp.mul(fr, fp.mul(fr, fp.constant(fr, c_ab), im.val),
-                   fp.batch_inv(fr, den))
+        den = fp.mul(fr, fp.sub(fr, alpha[:, None, :], im.row_e[None]),
+                     fp.sub(fr, beta[:, None, :], im.col_e[None]))
+        inv_den = fp.batch_inv(fr, den.reshape(bsz * den.shape[1], -1)
+                               ).reshape(den.shape)
+        f = fp.mul(fr, fp.mul(fr, c_ab[:, None, :], im.val[None]), inv_den)
         # sigma = sum_K f  (tree); stays a device plane until the final sync
         sig = f
-        while sig.shape[0] > 1:
-            half = sig.shape[0] // 2
-            sig = fp.add(fr, sig[:half], sig[half:])
-        sigmas[m] = sig[0]
+        while sig.shape[-2] > 1:
+            half = sig.shape[-2] // 2
+            sig = fp.add(fr, sig[..., :half, :], sig[..., half:, :])
+        sigmas[m] = sig[..., 0, :]                   # (B, L)
         f_coeffs = intt(dom_k, f)
-        g_m = f_coeffs[1:]                           # f = sigma/|K| + X g
+        g_m = f_coeffs[..., 1:, :]                   # f = sigma/|K| + X g
         # h_M = (a - b (X g + sigma/|K|)) / v_K   on the 4K coset
-        a_coeffs = fp.mul(fr, fp.constant(fr, c_ab), im.val_coeffs)
+        a_coeffs = fp.mul(fr, c_ab[:, None, :], im.val_coeffs[None])
         ca = _coset_ntt(fr, a_coeffs, dom_k4, g)
-        crow = _coset_ntt(fr, im.row_coeffs, dom_k4, g)
+        crow = _coset_ntt(fr, im.row_coeffs, dom_k4, g)    # shared (K4, L)
         ccol = _coset_ntt(fr, im.col_coeffs, dom_k4, g)
-        cb = fp.mul(fr, fp.sub(fr, fp.constant(fr, alpha), crow),
-                    fp.sub(fr, fp.constant(fr, beta), ccol))
+        cb = fp.mul(fr, fp.sub(fr, alpha[:, None, :], crow[None]),
+                    fp.sub(fr, beta[:, None, :], ccol[None]))
         cf = _coset_ntt(fr, f_coeffs, dom_k4, g)     # X g + sigma/|K| = f
         ch = fp.mul(fr, fp.sub(fr, ca, fp.mul(fr, cb, cf)), vk_inv4)
-        h_m = _coset_intt(fr, ch, dom_k4, g)[:3 * ksz]
+        h_m = _coset_intt(fr, ch, dom_k4, g)[..., :3 * ksz, :]
         g_polys[m], h_polys[m] = g_m, h_m
         comms[f"{m}_g"] = com(g_m)
         comms[f"{m}_h"] = com(h_m)
         tr.absorb_point(comms[f"{m}_g"])
         tr.absorb_point(comms[f"{m}_h"])
         tr.absorb_fr(sigmas[m])
-    delta = _challenge_int(tr, curve)
+    delta = tr.challenge()
 
     # ---- round 4: evaluations + batched openings ------------------------
     h_polys_beta = {"w": w_coeffs, "z_a": za_coeffs, "z_b": zb_coeffs,
@@ -308,54 +337,55 @@ def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
         k_polys_delta[f"{m}_g"] = g_polys[m]
         k_polys_delta[f"{m}_h"] = h_polys[m]
 
-    h_stack = jnp.stack([poly_ops.pad_to(fr, h_polys_beta[nm], cl)
-                         for nm in H_OPEN])
-    ev_b = poly_ops.evaluate(fr, h_stack, fp.constant(fr, beta))
-    k_stack = jnp.stack([poly_ops.pad_to(fr, k_polys_delta[nm], cl)
-                         for nm in K_OPEN])
-    ev_d = poly_ops.evaluate(fr, k_stack, fp.constant(fr, delta))
+    h_stack = jnp.stack([bpad(h_polys_beta[nm]) for nm in H_OPEN], axis=1)
+    ev_b = jax.vmap(functools.partial(poly_ops.evaluate, fr))(
+        h_stack, beta)                               # (B, |H_OPEN|, L)
+    k_stack = jnp.stack([bpad(k_polys_delta[nm]) for nm in K_OPEN], axis=1)
+    ev_d = jax.vmap(functools.partial(poly_ops.evaluate, fr))(
+        k_stack, delta)
     for i in range(len(H_OPEN)):
-        tr.absorb_fr(ev_b[i])
+        tr.absorb_fr(ev_b[:, i])
     for i in range(len(K_OPEN)):
-        tr.absorb_fr(ev_d[i])
-    u_beta = tr.challenge()                          # device planes
+        tr.absorb_fr(ev_d[:, i])
+    u_beta = tr.challenge()
     u_delta = tr.challenge()
 
-    def batch_open(polys, order, point, u):
-        stacked = jnp.stack([poly_ops.pad_to(fr, polys[nm], cl)
-                             for nm in order])       # (B, cl, L)
-        upows = poly_ops.powers(fr, u, len(order))   # (B, L)
-        terms = fp.mul(fr, stacked, upows[:, None, :])
-        combined = terms[0]
+    def batch_open(stacked, order, point, u):
+        upows = jax.vmap(
+            lambda uu: poly_ops.powers(fr, uu, len(order)))(u)  # (B, K, L)
+        terms = fp.mul(fr, stacked, upows[:, :, None, :])
+        combined = terms[:, 0]
         for i in range(1, len(order)):
-            combined = fp.add(fr, combined, terms[i])
-        q, _ = poly_ops.divide_linear(fr, combined, fp.constant(fr, point))
+            combined = fp.add(fr, combined, terms[:, i])
+        q, _ = poly_ops.divide_linear(fr, combined, point)
         return com(q)
 
-    open_beta = batch_open(h_polys_beta, H_OPEN, beta, u_beta)
-    open_delta = batch_open(k_polys_delta, K_OPEN, delta, u_delta)
+    open_beta = batch_open(h_stack, H_OPEN, beta, u_beta)
+    open_delta = batch_open(k_stack, K_OPEN, delta, u_delta)
 
     # ---- single batched host sync (proof materialization) ---------------
     names = list(comms)
     pts = [comms[nm] for nm in names] + [open_beta, open_delta]
-    stacked_pts = sw.Point(jnp.stack([q.x for q in pts]),
-                           jnp.stack([q.y for q in pts]),
-                           jnp.stack([q.z for q in pts]))
+    stacked_pts = sw.Point(*(jnp.stack([getattr(q, f) for q in pts])
+                             for f in ("x", "y", "z")))     # (P, B) lanes
     aff = sw.to_affine(curve, stacked_pts)
     xs = fp.to_ints(curve.field, aff.x)
     ys = fp.to_ints(curve.field, aff.y)
     infs = np.asarray(jax.device_get(aff.inf))
-    host_pts = [None if infs[i] else (int(xs[i]), int(ys[i]))
-                for i in range(len(pts))]
-    comms_h = dict(zip(names, host_pts[:len(names)]))
-    open_beta_h, open_delta_h = host_pts[len(names):]
     sig_ints = fp.to_ints(fr, jnp.stack([sigmas[m] for m in M_NAMES]))
-    sigmas_h = {m: int(sig_ints[i]) for i, m in enumerate(M_NAMES)}
-    evb_i = fp.to_ints(fr, ev_b)
+    evb_i = fp.to_ints(fr, ev_b)                     # (B, |H_OPEN|)
     evd_i = fp.to_ints(fr, ev_d)
-    evals = {nm: int(evb_i[i]) for i, nm in enumerate(H_OPEN)}
-    evals.update({nm: int(evd_i[i]) for i, nm in enumerate(K_OPEN)})
-    return MarlinProof(comms_h, sigmas_h, evals, open_beta_h, open_delta_h)
+    proofs = []
+    for b in range(bsz):
+        def pt(i):
+            return None if infs[i][b] else (int(xs[i][b]), int(ys[i][b]))
+        comms_h = {nm: pt(i) for i, nm in enumerate(names)}
+        sigmas_h = {m: int(sig_ints[i][b]) for i, m in enumerate(M_NAMES)}
+        evals = {nm: int(evb_i[b][i]) for i, nm in enumerate(H_OPEN)}
+        evals.update({nm: int(evd_i[b][i]) for i, nm in enumerate(K_OPEN)})
+        proofs.append(MarlinProof(comms_h, sigmas_h, evals,
+                                  pt(len(names)), pt(len(names) + 1)))
+    return proofs
 
 
 # ---------------------------------------------------------------- verifier

@@ -211,16 +211,29 @@ def prove_once_unchecked(keys: PoswKeys, header: int, nonce: int):
     return ahp.prove(keys.pk, z), z[1]
 
 
-def proof_difficulty(keys: PoswKeys, proof) -> int:
-    """Poseidon-sponge hash of the proof's commitment coordinates -> int
-    (the difficulty hash of `posw.rs:170-200`)."""
+def _proof_coords(proof) -> list[int]:
     coords = []
     for name in sorted(proof.comms):
         c = proof.comms[name]
         coords.extend([0, 0] if c is None else [c[0] % FR.p, c[1] % FR.p])
+    return coords
+
+
+def proof_difficulty(keys: PoswKeys, proof) -> int:
+    """Poseidon-sponge hash of the proof's commitment coordinates -> int
+    (the difficulty hash of `posw.rs:170-200`)."""
+    return proof_difficulty_batch(keys, [proof])[0]
+
+
+def proof_difficulty_batch(keys: PoswKeys, proofs) -> list[int]:
+    """Difficulty hashes of B proofs in ONE lane-batched sponge (the
+    per-proof host round-trip would otherwise dominate a batched miner)."""
+    rows = [_proof_coords(pf) for pf in proofs]
+    planes = fp.from_ints(FR, rows)                  # (B, ncoords, L)
     out = poseidon.hash_many(keys.cfg,
-                             [fp.constant(FR, v) for v in coords])[0]
-    return int(fp.to_ints(FR, out)[()])
+                             [planes[:, j] for j in range(len(rows[0]))])[0]
+    vals = fp.to_ints(FR, out)                       # (B,)
+    return [int(v) for v in vals]
 
 
 def mine(keys: PoswKeys, header: int, target: int, start_nonce: int = 0,
@@ -234,6 +247,29 @@ def mine(keys: PoswKeys, header: int, target: int, start_nonce: int = 0,
         proof, digest = prove_once_unchecked(keys, header, nonce)
         if proof_difficulty(keys, proof) < target:
             return {"nonce": nonce, "digest": digest, "proof": proof}
+    return None
+
+
+def mine_batch(keys: PoswKeys, header: int, target: int,
+               start_nonce: int = 0, max_nonces: int = 64, batch: int = 8,
+               terminator=None):
+    """Batched miner: B nonces proven per `ahp.prove_batch` dispatch set
+    (1 batch = B proofs on the vector lanes — the TPU analog of the
+    reference's 1-thread-=-1-proof loop, `simonatsn/README.md:88`), with
+    the difficulty check also lane-batched.  Returns the first qualifying
+    solution in nonce order."""
+    nonce, end = start_nonce, start_nonce + max_nonces
+    while nonce < end:
+        if terminator is not None and terminator.is_set():
+            return None
+        bs = min(batch, end - nonce)
+        zs = [_witness(keys.circuit, header, nonce + i) for i in range(bs)]
+        proofs = ahp.prove_batch(keys.pk, zs)
+        for i, d in enumerate(proof_difficulty_batch(keys, proofs)):
+            if d < target:
+                return {"nonce": nonce + i, "digest": zs[i][1],
+                        "proof": proofs[i]}
+        nonce += bs
     return None
 
 
