@@ -72,6 +72,14 @@ def test_kmul_mxu_and_hybrid_match_kmul(spec):
     got_hyb = np.asarray(jax.device_get(
         fk.kmul_hybrid(spec, at, bt, jnp.asarray(fmat), ft))).T
     assert np.array_equal(got_mxu, got_hyb), f"{spec.name} mxu!=hybrid"
+    # tree diagonal accumulation: bit-identical to the flat schedule
+    tree = np.asarray(jax.device_get(
+        fk.kmul(spec, at, bt, ft, diag="tree"))).T
+    assert np.array_equal(tree, ref), f"{spec.name} kmul tree!=flat"
+    hyb_tree = np.asarray(jax.device_get(
+        fk.kmul_hybrid(spec, at, bt, jnp.asarray(fmat), ft,
+                       diag="tree"))).T
+    assert np.array_equal(hyb_tree, got_hyb), f"{spec.name} hybrid tree!=flat"
     assert got_mxu.max() < (1 << 16) and ref.max() < (1 << 16)
     for i in range(batch):
         expect = (int_from_limbs(a_np[i]) * int_from_limbs(b_np[i])) % spec.p
@@ -104,7 +112,7 @@ def test_te_kernels_hybrid_interpret():
                 for o in planes]
 
     outs, raws = {}, {}
-    for mode in ("vpu", "mxu", "hybrid"):
+    for mode in ("vpu", "mxu", "hybrid", "hybrid-tree", "vpu-tree"):
         add = make_te_mixed_add(curve, lanes, lanes, interpret=True,
                                 kmul_mode=mode)
         raw = add(x, y, z, t, rows, mask)
@@ -112,6 +120,10 @@ def test_te_kernels_hybrid_interpret():
         outs[mode] = canon(raw)
     for a, b in zip(raws["mxu"], raws["hybrid"]):
         assert np.array_equal(a, b), "mixed: hybrid != mxu bitwise"
+    for a, b in zip(raws["hybrid"], raws["hybrid-tree"]):
+        assert np.array_equal(a, b), "mixed: hybrid-tree != hybrid bitwise"
+    for a, b in zip(raws["vpu"], raws["vpu-tree"]):
+        assert np.array_equal(a, b), "mixed: vpu-tree != vpu bitwise"
     for a, b in zip(outs["vpu"], outs["hybrid"]):
         assert np.array_equal(a, b), "mixed: hybrid != vpu canonically"
 

@@ -118,16 +118,58 @@ def _normalize_k(c, bounds: Sequence[int], spec: FieldSpec, ft):
     return c
 
 
-def kmul(spec: FieldSpec, a, b, ft):
-    """(N, T) x (N, T) -> (N, T), normal form, pure VPU ops.
-    `ft` is the transposed fold table (N, N+2) — passed in (Pallas kernels
-    cannot capture array constants)."""
-    n = spec.n_limbs
+def _diag_flat(a, b, n):
+    """Schoolbook diagonal sum, flat accumulation: 2n full-height shifted
+    adds into the (2n, T) accumulator."""
     c = jnp.zeros((2 * n,) + a.shape[1:], jnp.uint32)
     for i in range(n):
         pp = a[i:i + 1] * b                       # (n, T) exact in u32
         c = c + _shift_rows(pp & _MASK, i, 2 * n)
         c = c + _shift_rows(pp >> BASE_BITS, i + 1, 2 * n)
+    return c
+
+
+def _diag_tree(a, b, n):
+    """Schoolbook diagonal sum, pairwise-tree accumulation: per-i lo/hi
+    combine into an (n+1)-row block at offset i, then log2(n) levels of
+    staggered block adds.  Touches ~n^2/2 add-rows total vs the flat
+    form's ~2n^2 (zero-row padding grows only with the stagger, not the
+    full 2n accumulator height).  Bit-identical to `_diag_flat` (exact
+    commutative u32 adds of the same terms)."""
+    zrow = jnp.zeros((1,) + a.shape[1:], jnp.uint32)
+    parts, offs = [], []
+    for i in range(n):
+        pp = a[i:i + 1] * b                       # (n, T) exact in u32
+        comb = (jnp.concatenate([pp & _MASK, zrow], axis=0)
+                + jnp.concatenate([zrow, pp >> BASE_BITS], axis=0))
+        parts.append(comb)                        # rows i .. i+n
+        offs.append(i)
+    while len(parts) > 1:
+        nparts, noffs = [], []
+        for j in range(0, len(parts) - 1, 2):
+            x, y = parts[j], parts[j + 1]
+            d = offs[j + 1] - offs[j]
+            total = max(x.shape[0], d + y.shape[0])
+            nparts.append(_shift_rows(x, 0, total) + _shift_rows(y, d, total))
+            noffs.append(offs[j])
+        if len(parts) % 2:
+            nparts.append(parts[-1])
+            noffs.append(offs[-1])
+        parts, offs = nparts, noffs
+    return _shift_rows(parts[0], offs[0], 2 * n)
+
+
+def _diag_sum(a, b, n, diag):
+    return _diag_tree(a, b, n) if diag == "tree" else _diag_flat(a, b, n)
+
+
+def kmul(spec: FieldSpec, a, b, ft, diag: str = "flat"):
+    """(N, T) x (N, T) -> (N, T), normal form, pure VPU ops.
+    `ft` is the transposed fold table (N, N+2) — passed in (Pallas kernels
+    cannot capture array constants).  `diag` selects the schoolbook
+    accumulation schedule (bit-identical either way)."""
+    n = spec.n_limbs
+    c = _diag_sum(a, b, n, diag)
     return _normalize_k(c, _diag_bounds(n), spec, ft)
 
 
@@ -290,7 +332,7 @@ def kmul_mxu(spec: FieldSpec, a, b, smat, fmat, ft):
     return _fold_tail_mxu(spec, c, _diag_bounds(n), fmat, ft)
 
 
-def kmul_hybrid(spec: FieldSpec, a, b, fmat, ft):
+def kmul_hybrid(spec: FieldSpec, a, b, fmat, ft, diag: str = "flat"):
     """(N, T) x (N, T) -> (N, T) normal form; bit-identical to `kmul_mxu`,
     value-identical to `kmul` mod p.
 
@@ -300,11 +342,7 @@ def kmul_hybrid(spec: FieldSpec, a, b, fmat, ft):
     the tail fold rides the small exact-f32 `fmat` matmul (the part the VPU
     form pays ~2x the schoolbook for in `_fold_pass_k`)."""
     n = spec.n_limbs
-    c = jnp.zeros((2 * n,) + a.shape[1:], jnp.uint32)
-    for i in range(n):
-        pp = a[i:i + 1] * b                         # (n, T) exact in u32
-        c = c + _shift_rows(pp & _MASK, i, 2 * n)
-        c = c + _shift_rows(pp >> BASE_BITS, i + 1, 2 * n)
+    c = _diag_sum(a, b, n, diag)
     return _fold_tail_mxu(spec, c, _diag_bounds(n), fmat, ft)
 
 

@@ -63,15 +63,7 @@ def _h_pows(dom: Domain) -> jax.Array:
     return jnp.concatenate([dom.pows, fp.neg(dom.spec, dom.pows)], axis=0)
 
 
-@functools.lru_cache(maxsize=None)
-def _gpow_np(fr, g: int, count: int, inverse: bool):
-    p = fr.p
-    gg = pow(g, p - 2, p) if inverse else g
-    vals, cur = [], 1
-    for _ in range(count):
-        vals.append(cur)
-        cur = cur * gg % p
-    return np.asarray(jax.device_get(fp.from_ints(fr, vals)))
+_gpow_np = poly_ops.gpow_np          # shared lru-cached coset power planes
 
 
 def _coset_ntt(fr, coeffs, dom_big: Domain, g: int):
@@ -113,6 +105,23 @@ def _div_vanishing(fr, coeffs: jax.Array, m: int):
     q = exc.reshape(lead + (rows * m, coeffs.shape[-1]))[..., :nc - m, :]
     rem = fp.add(fr, c[..., 0, :, :], exc[..., 0, :, :])
     return q, rem
+
+
+def _index_coset(fr, im: IndexedMatrix, dom_big: Domain, g: int):
+    """Coset-NTT planes of the row/col index polynomials, memoized on the
+    IndexedMatrix (witness-independent — the analog of the reference's
+    GPU-resident arithmetization caches, `simonatsn/README.md:80-100`;
+    saves 2 size-4K NTTs per matrix per prove call).  Cached as numpy
+    (house rule: no jnp arrays in caches a trace could populate)."""
+    key = (dom_big.n, g)
+    cache = getattr(im, "_coset_cache", None)
+    if cache is None or cache[0] != key:
+        crow = _coset_ntt(fr, im.row_coeffs, dom_big, g)
+        ccol = _coset_ntt(fr, im.col_coeffs, dom_big, g)
+        cache = (key, np.asarray(jax.device_get(crow)),
+                 np.asarray(jax.device_get(ccol)))
+        im._coset_cache = cache
+    return jnp.asarray(cache[1]), jnp.asarray(cache[2])
 
 
 def _matvec(fr, im: IndexedMatrix, z_evals, n: int):
@@ -310,8 +319,7 @@ def prove_batch(pk: IndexProverKey, assignments) -> list["MarlinProof"]:
         # h_M = (a - b (X g + sigma/|K|)) / v_K   on the 4K coset
         a_coeffs = fp.mul(fr, c_ab[:, None, :], im.val_coeffs[None])
         ca = _coset_ntt(fr, a_coeffs, dom_k4, g)
-        crow = _coset_ntt(fr, im.row_coeffs, dom_k4, g)    # shared (K4, L)
-        ccol = _coset_ntt(fr, im.col_coeffs, dom_k4, g)
+        crow, ccol = _index_coset(fr, im, dom_k4, g)       # shared (K4, L)
         cb = fp.mul(fr, fp.sub(fr, alpha[:, None, :], crow[None]),
                     fp.sub(fr, beta[:, None, :], ccol[None]))
         cf = _coset_ntt(fr, f_coeffs, dom_k4, g)     # X g + sigma/|K| = f

@@ -636,9 +636,18 @@ def _te_madd_body(curve: CurveSpec, x, y, z, t, yp, ym, kt_c, ft, neg2,
 def _kmul_mode() -> str:
     """Kernel-multiply schedule: 'mxu' (diag-sum + fold as exact-f32
     matmuls), 'hybrid' (VPU diag-sum, MXU fold — `fp_kernel.kmul_hybrid`),
-    or 'vpu' (all-VPU `fp_kernel.kmul`).  Env A/B knob."""
+    or 'vpu' (all-VPU `fp_kernel.kmul`).  A '-tree' suffix on 'vpu'/'hybrid'
+    selects the pairwise-tree diagonal accumulation
+    (`fp_kernel._diag_tree`, ~4x fewer VPU add-rows, bit-identical).
+    Env A/B knob."""
     import os
     return os.environ.get("ZPRIZE_KMUL", "mxu")
+
+
+def _parse_kmul_mode(kmul_mode: str) -> tuple[str, str]:
+    """'hybrid-tree' -> ('hybrid', 'tree'); 'vpu' -> ('vpu', 'flat')."""
+    base, _, sfx = kmul_mode.partition("-")
+    return base, (sfx or "flat")
 
 
 @functools.lru_cache(maxsize=None)
@@ -660,10 +669,11 @@ def make_te_mixed_add(curve: CurveSpec, n_lanes: int, tile: int,
     assert n_lanes % tile == 0
     if kmul_mode is None:
         kmul_mode = _kmul_mode()
-    if kmul_mode == "mxu":
+    kbase, kdiag = _parse_kmul_mode(kmul_mode)
+    if kbase == "mxu":
         smat_np, fmat_np, _, _ = fk.mxu_tables(f)
         extra_np = (smat_np, fmat_np)
-    elif kmul_mode == "hybrid":
+    elif kbase == "hybrid":
         _, fmat_np, _, _ = fk.mxu_tables(f)
         extra_np = (fmat_np,)
     else:
@@ -676,12 +686,14 @@ def make_te_mixed_add(curve: CurveSpec, n_lanes: int, tile: int,
          x_ref, y_ref, z_ref, t_ref) = refs[:8]
         ox_ref, oy_ref, oz_ref, ot_ref = refs[-4:]
         ft, neg2 = ft_ref[...], neg2_ref[...]
-        if kmul_mode == "mxu":
+        if kbase == "mxu":
             smat, fmat = refs[8][...], refs[9][...]
             km = lambda u, v: fk.kmul_mxu(f, u, v, smat, fmat, ft)
-        elif kmul_mode == "hybrid":
+        elif kbase == "hybrid":
             fmat = refs[8][...]
-            km = lambda u, v: fk.kmul_hybrid(f, u, v, fmat, ft)
+            km = lambda u, v: fk.kmul_hybrid(f, u, v, fmat, ft, diag=kdiag)
+        elif kdiag != "flat":
+            km = lambda u, v: fk.kmul(f, u, v, ft, diag=kdiag)
         else:
             km = None
         rows = rows_ref[...]
@@ -783,10 +795,11 @@ def make_te_full_add(curve: CurveSpec, n_lanes: int, tile: int,
     k_int = te_mod.te_params(curve).k
     if kmul_mode is None:
         kmul_mode = _kmul_mode()
-    if kmul_mode == "mxu":
+    kbase, kdiag = _parse_kmul_mode(kmul_mode)
+    if kbase == "mxu":
         smat_np, fmat_np, _, _ = fk.mxu_tables(f)
         extra_np = (smat_np, fmat_np)
-    elif kmul_mode == "hybrid":
+    elif kbase == "hybrid":
         _, fmat_np, _, _ = fk.mxu_tables(f)
         extra_np = (fmat_np,)
     else:
@@ -796,14 +809,17 @@ def make_te_full_add(curve: CurveSpec, n_lanes: int, tile: int,
         (ft_ref, neg2_ref, kcol_ref, x2_ref, y2_ref, z2_ref, t2_ref,
          skip_ref, x_ref, y_ref, z_ref, t_ref) = refs[:12]
         ox_ref, oy_ref, oz_ref, ot_ref = refs[-4:]
-        if kmul_mode == "mxu":
+        if kbase == "mxu":
             smat, fmat = refs[12][...], refs[13][...]
             ftv = ft_ref[...]
             km = lambda u, v: fk.kmul_mxu(f, u, v, smat, fmat, ftv)
-        elif kmul_mode == "hybrid":
+        elif kbase == "hybrid":
             fmat = refs[12][...]
             ftv = ft_ref[...]
-            km = lambda u, v: fk.kmul_hybrid(f, u, v, fmat, ftv)
+            km = lambda u, v: fk.kmul_hybrid(f, u, v, fmat, ftv, diag=kdiag)
+        elif kdiag != "flat":
+            ftv = ft_ref[...]
+            km = lambda u, v: fk.kmul(f, u, v, ftv, diag=kdiag)
         else:
             km = None
         x, y, z, t = _te_full_add_body(

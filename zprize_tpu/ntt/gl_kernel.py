@@ -100,8 +100,17 @@ def _make_ntt_call(log_n: int, n_batch: int, tile: int, interpret: bool):
 
 
 # Largest transform run as a single fused kernel; larger sizes recurse via
-# the four-step split (the Mosaic compiler rejects very tall blocks).
-MAX_KERNEL_LOG = 9
+# the four-step split (the Mosaic compiler rejects very tall blocks —
+# 4096 sublanes x 12 unrolled stages failed remote compile; 2^9 is the
+# proven default).  Env knob for probing taller kernels on hardware:
+# every extra level saved removes a full HBM round trip (kernel + twiddle
+# + transpose pass) at 2^24 scale.
+def _max_kernel_log() -> int:
+    import os
+    return int(os.environ.get("ZPRIZE_NTT_MAXLOG", "9"))
+
+
+MAX_KERNEL_LOG = _max_kernel_log()
 
 
 def _ntt_axis0(log_n: int, xlo, xhi, inverse: bool, tile: int,
@@ -127,9 +136,7 @@ def _ntt_axis0(log_n: int, xlo, xhi, inverse: bool, tile: int,
     c_lo, c_hi = _ntt_axis0(l1, v_lo, v_hi, inverse, tile, interpret)
     c_lo = c_lo.reshape(n1, n2, n_batch)
     c_hi = c_hi.reshape(n1, n2, n_batch)
-    tmlo, tmhi = _twiddle_matrix_packed(l1, l2, inverse)
-    c_lo, c_hi = G.gl_mul(jnp.asarray(tmlo)[:, :, None],
-                          jnp.asarray(tmhi)[:, :, None], c_lo, c_hi)
+    c_lo, c_hi = _apply_step_twiddle(l1, l2, inverse, c_lo, c_hi)
     r_lo = jnp.swapaxes(c_lo, 0, 1).reshape(n2, n1 * n_batch)
     r_hi = jnp.swapaxes(c_hi, 0, 1).reshape(n2, n1 * n_batch)
     r_lo, r_hi = _ntt_axis0(l2, r_lo, r_hi, inverse, tile, interpret)
@@ -164,6 +171,66 @@ def ntt_packed(log_n: int, xlo: jax.Array, xhi: jax.Array,
     return olo, ohi
 
 
+# split point for the two-level step-twiddle tables
+_TW_SPLIT_LOG = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_tables_two_level(log_n1: int, log_n2: int, inverse: bool):
+    """numpy two-level step-twiddle tables:
+    w^(k1*j2) = A[k1, j2 >> s] * B[k1, j2 & (2^s - 1)], s = min(log_n2, 8).
+    Replaces the materialized (n1, n2) twiddle matrix — 64 MB per plane of
+    constant HBM reads at 2^24 — with O(n1 * 2^s) tables whose product
+    XLA fuses into the elementwise correction pass (the two-level omega
+    table of the reference, `winderica/distributed/src/gpu/mod.rs:536-539`).
+    Returns (a_lo, a_hi, b_lo, b_hi); A is None-shaped (n1, 1) of ones when
+    log_n2 <= s."""
+    n1 = 1 << log_n1
+    s = min(log_n2, _TW_SPLIT_LOG)
+    nlo, nhi = 1 << s, 1 << (log_n2 - s)
+    w = primitive_root(GOLDILOCKS, log_n1 + log_n2)
+    if inverse:
+        w = pow(w, Q - 2, Q)
+
+    def build(base, count):
+        # T[k1, j] = base^(k1*j), running products only
+        lo = np.zeros((n1, count), np.uint32)
+        hi = np.zeros((n1, count), np.uint32)
+        step = 1                         # base^k1
+        for k1 in range(n1):
+            v = 1
+            for j in range(count):
+                lo[k1, j] = v & 0xFFFFFFFF
+                hi[k1, j] = v >> 32
+                v = v * step % Q
+            step = step * base % Q
+        return lo, hi
+
+    a_lo, a_hi = build(pow(w, nlo, Q), nhi)
+    b_lo, b_hi = build(w, nlo)
+    return a_lo, a_hi, b_lo, b_hi
+
+
+def _apply_step_twiddle(log_n1: int, log_n2: int, inverse: bool,
+                        c_lo, c_hi):
+    """Elementwise w^(k1*k2) correction on (n1, n2, B) planes via the
+    two-level tables (one or two fused gl_muls; no big constant)."""
+    n1, n2, nb = c_lo.shape
+    s = min(log_n2, _TW_SPLIT_LOG)
+    nlo, nhi = 1 << s, 1 << (log_n2 - s)
+    a_lo, a_hi, b_lo, b_hi = _twiddle_tables_two_level(log_n1, log_n2,
+                                                       inverse)
+    c_lo = c_lo.reshape(n1, nhi, nlo, nb)
+    c_hi = c_hi.reshape(n1, nhi, nlo, nb)
+    if nhi > 1:
+        c_lo, c_hi = G.gl_mul(jnp.asarray(a_lo)[:, :, None, None],
+                              jnp.asarray(a_hi)[:, :, None, None],
+                              c_lo, c_hi)
+    c_lo, c_hi = G.gl_mul(jnp.asarray(b_lo)[:, None, :, None],
+                          jnp.asarray(b_hi)[:, None, :, None], c_lo, c_hi)
+    return c_lo.reshape(n1, n2, nb), c_hi.reshape(n1, n2, nb)
+
+
 @functools.lru_cache(maxsize=None)
 def _twiddle_matrix_packed(log_n1: int, log_n2: int, inverse: bool):
     n1, n2 = 1 << log_n1, 1 << log_n2
@@ -196,8 +263,9 @@ def ntt_fourstep_packed(log_n1: int, log_n2: int, xlo, xhi,
     mhi = xhi.reshape(n1, n2)
     # column transforms: positions along axis 0 already
     clo, chi = ntt_packed(log_n1, mlo, mhi, interpret=interpret)
-    tlo, thi = _twiddle_matrix_packed(log_n1, log_n2, False)
-    clo, chi = G.gl_mul(jnp.asarray(tlo), jnp.asarray(thi), clo, chi)
+    clo, chi = _apply_step_twiddle(log_n1, log_n2, False,
+                                   clo[:, :, None], chi[:, :, None])
+    clo, chi = clo[:, :, 0], chi[:, :, 0]
     # row transforms: transpose so positions are on axis 0
     rlo, rhi = ntt_packed(log_n2, clo.T, chi.T, interpret=interpret)
     # rlo is (n2, n1) = C^T with C[k1, k2]; A[k1 + n1 k2] = C[k1, k2]

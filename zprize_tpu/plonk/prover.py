@@ -124,10 +124,10 @@ def setup(curve: CurveSpec, circuit: CompiledCircuit, srs: kzg.Srs):
 
 
 def _coset_scale(fr, coeffs, g: int, n_out: int, inverse=False):
-    """coeff_i *= g^i (padding to n_out), via a host-precomputed power plane."""
-    p = fr.p
-    gg = pow(g, p - 2, p) if inverse else g
-    pows = fp.from_ints(fr, [pow(gg, i, p) for i in range(n_out)])
+    """coeff_i *= g^i (padding to n_out); the power plane is lru-cached
+    per (field, g, n_out) — it was recomputed as a 4n host modpow loop on
+    every call before, dominating the prover's host time."""
+    pows = jnp.asarray(poly_ops.gpow_np(fr, g, n_out, inverse))
     padded = poly_ops.pad_to(fr, coeffs, n_out)
     return fp.mul(fr, padded, pows)
 
@@ -135,6 +135,21 @@ def _coset_scale(fr, coeffs, g: int, n_out: int, inverse=False):
 def _coset_eval(pk: ProvingKey, coeffs):
     return ntt(pk.dom4, _coset_scale(pk.curve.scalar, coeffs, pk.coset_g,
                                      pk.dom4.n))
+
+
+def _coset_eval_cached(pk: ProvingKey, name: str, coeffs):
+    """Witness-independent coset evaluations (selectors, sigmas, L1),
+    memoized on the ProvingKey — the jf-plonk trick of computing selector
+    coset FFTs once at keygen (`plonk/src/proof_system/prover.rs` uses
+    precomputed coset representations).  9 of the prover's 14 size-4n
+    coset NTTs become one-time work.  numpy-cached (house rule)."""
+    cache = getattr(pk, "_coset_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(pk, "_coset_cache", cache)
+    if name not in cache:
+        cache[name] = np.asarray(jax.device_get(_coset_eval(pk, coeffs)))
+    return jnp.asarray(cache[name])
 
 
 def _cumprod_exclusive(fr, ratio):
@@ -223,9 +238,11 @@ def prove_planes(pk: ProvingKey, wires: jax.Array, public: list[int],
     ccw = _coset_eval(pk, wire_coeffs[2])
     cz = _coset_eval(pk, z_coeffs)
     cz_w = jnp.roll(cz, -4, axis=0)                    # z(w x) on the coset
-    csel = {k: _coset_eval(pk, v) for k, v in pk.selectors.items()}
+    csel = {k: _coset_eval_cached(pk, k, v)
+            for k, v in pk.selectors.items()}
     cpi = _coset_eval(pk, intt(dom, pi_evals))
-    cs = [_coset_eval(pk, pk.sigma_coeffs[i]) for i in range(3)]
+    cs = [_coset_eval_cached(pk, f"s{i}", pk.sigma_coeffs[i])
+          for i in range(3)]
 
     # coset points x = g * w4^i
     half = dom4.pows                                    # (2n4, L) forward pows
@@ -255,8 +272,9 @@ def prove_planes(pk: ProvingKey, wires: jax.Array, public: list[int],
 
     # L1 on the coset: coeffs are all 1/n
     n_inv = pow(n, p - 2, p)
-    l1_coeffs = fp.from_ints(fr, [n_inv] * n)
-    cl1 = _coset_eval(pk, l1_coeffs)
+    l1_coeffs = jnp.broadcast_to(fp.constant(fr, n_inv),
+                                 (n, fr.n_limbs))
+    cl1 = _coset_eval_cached(pk, "l1", l1_coeffs)
     z_minus_1 = fp.sub(fr, cz, fp.ones(fr, cz.shape[:-1]))
     l1term = fp.mul(fr, fp.mul(fr, fp.mul(fr, alpha, alpha),
                                fp.mul(fr, cl1, z_minus_1)),
@@ -269,7 +287,7 @@ def prove_planes(pk: ProvingKey, wires: jax.Array, public: list[int],
     w4n = pow(dom4.w, n, p)                            # primitive 4th root
     zh_vals = [(gn * pow(w4n, i, p) - 1) % p for i in range(4)]
     zh_inv = [pow(v, p - 2, p) for v in zh_vals]
-    zh_inv_plane = fp.from_ints(fr, zh_inv * (dom4.n // 4))
+    zh_inv_plane = jnp.tile(fp.from_ints(fr, zh_inv), (dom4.n // 4, 1))
     t_evals = fp.mul(fr, numerator, zh_inv_plane)
 
     t_coeffs = _coset_scale(fr, intt(dom4, t_evals), pk.coset_g, dom4.n,

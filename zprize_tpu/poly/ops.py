@@ -13,6 +13,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..field import fp
 from ..field.spec import FieldSpec
@@ -42,6 +43,23 @@ def sub(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
 def scale(spec: FieldSpec, a: jax.Array, k: jax.Array) -> jax.Array:
     """Multiply every coefficient by scalar plane k (L,)."""
     return fp.mul(spec, a, k)
+
+
+@functools.lru_cache(maxsize=None)
+def gpow_np(spec: FieldSpec, g: int, count: int, inverse: bool = False):
+    """numpy limb plane of [g^0 .. g^(count-1)] (or inverse powers) —
+    lru-cached per (field, generator, length): coset scalings recompute
+    these constants on every call otherwise (a 4n host modpow loop per
+    coset NTT dominated the PLONK prover's host time).  Cached as numpy
+    (house rule: no jnp arrays in caches a trace could populate); callers
+    `jnp.asarray` the result."""
+    p = spec.p
+    gg = pow(g, p - 2, p) if inverse else g
+    vals, cur = [], 1
+    for _ in range(count):
+        vals.append(cur)
+        cur = cur * gg % p
+    return np.asarray(jax.device_get(fp.from_ints(spec, vals)))
 
 
 def powers(spec: FieldSpec, z: jax.Array, count: int) -> jax.Array:
