@@ -55,7 +55,11 @@ def main():
     print(f"kernel-only: {dt*1e3:8.2f} ms  {adds/dt/1e6:7.2f} M adds/s  "
           f"({dt/adds*1e9:.1f} ns/add)", flush=True)
 
-    # XLA gather alone at the production row size (40 u32 words)
+    # XLA gather alone at the production row size (40 u32 words).
+    # Mode-independent and heavy (1.3 GB table; once broke the axon tunnel
+    # mid-compile) — skipped unless explicitly requested.
+    if os.environ.get("ZPRIZE_BENCH_GATHER", "0") != "1":
+        return
     table = mk((1 << 22, ROWS_N))
     idx = jnp.asarray(rng.integers(0, 1 << 22, (LANES * 8,), dtype=np.int32))
 

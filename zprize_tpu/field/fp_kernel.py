@@ -218,6 +218,18 @@ def fold_table_t(spec: FieldSpec) -> np.ndarray:
 # of `_fold_pass_k` disappear onto the (otherwise idle) MXU.
 # ---------------------------------------------------------------------------
 
+def _f32(x: jax.Array) -> jax.Array:
+    """uint32 -> float32 via int32 (values < 2^31; Mosaic has no direct
+    u32->f32 lowering on TPU)."""
+    return x.astype(jnp.int32).astype(jnp.float32)
+
+
+def _u32(x: jax.Array) -> jax.Array:
+    """float32 -> uint32 via int32 (exact integers < 2^31; Mosaic has no
+    direct f32->u32 lowering on TPU)."""
+    return x.astype(jnp.int32).astype(jnp.uint32)
+
+
 def _pad_to(x: np.ndarray, rows: int, cols: int) -> np.ndarray:
     out = np.zeros((rows, cols), x.dtype)
     out[:x.shape[0], :x.shape[1]] = x
@@ -286,8 +298,8 @@ def _fold_tail_mxu(spec: FieldSpec, c, bounds, fmat, ft):
     tail = c[n:]
     tail_bound = max(bounds[n:])
     assert tail_bound <= 1 << (MXU_PIECE_BITS * MXU_N_PIECES), tail_bound
-    pieces = [((tail >> (MXU_PIECE_BITS * q)) & ((1 << MXU_PIECE_BITS) - 1)
-               ).astype(jnp.float32) for q in range(MXU_N_PIECES)]
+    pieces = [_f32((tail >> (MXU_PIECE_BITS * q)) & ((1 << MXU_PIECE_BITS) - 1))
+              for q in range(MXU_N_PIECES)]
     pvec = jnp.concatenate(pieces, axis=0)          # (4n, T)
     if pvec.shape[0] < f_pad:
         pvec = jnp.concatenate(
@@ -295,7 +307,7 @@ def _fold_tail_mxu(spec: FieldSpec, c, bounds, fmat, ft):
             axis=0)
     g_f = jax.lax.dot_general(fmat, pvec, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    g = g_f[:2 * n].astype(jnp.uint32)              # sums < 2^20.7, exact
+    g = _u32(g_f[:2 * n])                           # sums < 2^20.7, exact
     out = c[:n] + g[:n] + (g[n:2 * n] << 8)
     # bounds: head + lo-byte sums + hi-byte sums << 8
     gmax = MXU_N_PIECES * n * ((1 << MXU_PIECE_BITS) - 1)
@@ -319,8 +331,8 @@ def kmul_mxu(spec: FieldSpec, a, b, smat, fmat, ft):
     pp, hi = [], []
     for i in range(n):
         prod = a[i:i + 1] * b                       # (n, T) exact u32
-        pp.append((prod & _MASK).astype(jnp.float32))
-        hi.append((prod >> BASE_BITS).astype(jnp.float32))
+        pp.append(_f32(prod & _MASK))
+        hi.append(_f32(prod >> BASE_BITS))
     plane = jnp.concatenate(pp + hi, axis=0)        # (2n^2, T)
     if plane.shape[0] < k_pad:
         plane = jnp.concatenate(
@@ -328,7 +340,7 @@ def kmul_mxu(spec: FieldSpec, a, b, smat, fmat, ft):
             axis=0)
     c_f = jax.lax.dot_general(smat, plane, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    c = c_f[:2 * n].astype(jnp.uint32)              # exact: sums < 2^22.7
+    c = _u32(c_f[:2 * n])                           # exact: sums < 2^22.7
     return _fold_tail_mxu(spec, c, _diag_bounds(n), fmat, ft)
 
 
