@@ -306,7 +306,8 @@ def _fold_tail_mxu(spec: FieldSpec, c, bounds, fmat, ft):
             [pvec, jnp.zeros((f_pad - pvec.shape[0], t), jnp.float32)],
             axis=0)
     g_f = jax.lax.dot_general(fmat, pvec, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
     g = _u32(g_f[:2 * n])                           # sums < 2^20.7, exact
     out = c[:n] + g[:n] + (g[n:2 * n] << 8)
     # bounds: head + lo-byte sums + hi-byte sums << 8
@@ -339,7 +340,8 @@ def kmul_mxu(spec: FieldSpec, a, b, smat, fmat, ft):
             [plane, jnp.zeros((k_pad - plane.shape[0], t), jnp.float32)],
             axis=0)
     c_f = jax.lax.dot_general(smat, plane, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
     c = _u32(c_f[:2 * n])                           # exact: sums < 2^22.7
     return _fold_tail_mxu(spec, c, _diag_bounds(n), fmat, ft)
 
