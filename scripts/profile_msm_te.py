@@ -98,7 +98,7 @@ def main():
 
     (digits, perm, starts, counts, descs), t1 = timeit(
         "1 digits+sort",
-        lambda: _digits_grouped_te(curve, c, cspec, gspec, s, pinf))
+        lambda: _digits_grouped_te(curve, c, cspec, gspec, True, s, pinf))
 
     tiers_spec = []
     for (nbe, ws), desc in zip(gspec, descs):

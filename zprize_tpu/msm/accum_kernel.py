@@ -639,9 +639,13 @@ def _kmul_mode() -> str:
     or 'vpu' (all-VPU `fp_kernel.kmul`).  A '-tree' suffix on 'vpu'/'hybrid'
     selects the pairwise-tree diagonal accumulation
     (`fp_kernel._diag_tree`, ~4x fewer VPU add-rows, bit-identical).
-    Env A/B knob."""
+    Env A/B knob.
+
+    Default 'hybrid' after the r3 on-chip A/B (exact-precision kernels,
+    microbench_te_kernel): hybrid 46.3 M adds/s vs vpu 35.0 / mxu 19.7
+    (mxu pays the 6-pass HIGHEST-precision smat matmul)."""
     import os
-    return os.environ.get("ZPRIZE_KMUL", "mxu")
+    return os.environ.get("ZPRIZE_KMUL", "hybrid")
 
 
 def _parse_kmul_mode(kmul_mode: str) -> tuple[str, str]:
@@ -867,6 +871,138 @@ def make_te_full_add(curve: CurveSpec, n_lanes: int, tile: int,
     return fn
 
 
+def _te_dbl_body(curve: CurveSpec, x, y, z, t, ft, neg2, kmul_fn=None):
+    """dbl-2008-hwcd (a=-1) in kernel form: 4M + 4S + adds.  Mirrors
+    `te.dbl` (keep in lockstep)."""
+    f = curve.field
+    km = kmul_fn or (lambda u, v: fk.kmul(f, u, v, ft))
+    a = km(x, x)
+    b = km(y, y)
+    zz = km(z, z)
+    cc = fk.kadd(f, zz, zz, ft)
+    d = fk.kneg(f, a, ft, neg2)                        # a_te = -1
+    xy = fk.kadd(f, x, y, ft)
+    e = fk.ksub(f, fk.ksub(f, km(xy, xy), a, ft, neg2), b, ft, neg2)
+    g = fk.kadd(f, d, b, ft)
+    ff_ = fk.ksub(f, g, cc, ft, neg2)
+    h = fk.ksub(f, d, b, ft, neg2)
+    return km(e, ff_), km(g, h), km(ff_, g), km(e, h)
+
+
+@functools.lru_cache(maxsize=None)
+def make_te_combine(curve: CurveSpec, n_win: int, c: int,
+                    interpret: bool = False, kmul_mode: str | None = None):
+    """fn(planes) -> (x, y, z, t) single-point limb-major (N, TILE) planes
+    (result in every lane; read lane 0).
+
+    Fuses the ENTIRE window combine  sum_w 2^(cw) W_w  (MSB-first: c dbls +
+    1 add per window) into ONE kernel: the XLA form (`_combine_core_te`)
+    runs ~n_win*(c+1) sequential single-lane field ops each paying an HBM
+    round trip (~88 ms at c=17 measured on v5e); in-kernel the whole state
+    lives in registers/VMEM.  `planes`: (n_win, 4, N, TILE) — window w's
+    (x, y, z, t) broadcast across the lane tile."""
+    from ..curve import te as te_mod
+    f = curve.field
+    n = f.n_limbs
+    tile = 128
+    k_int = te_mod.te_params(curve).k
+    if kmul_mode is None:
+        kmul_mode = _kmul_mode()
+    kbase, kdiag = _parse_kmul_mode(kmul_mode)
+    if kbase in ("mxu", "hybrid"):
+        # single-lane work: the MXU fold matmul pays more in operand
+        # staging than it saves at T=128 — use the pure-VPU schedule
+        kbase, kdiag = "vpu", "flat"
+
+    def kernel(ft_ref, neg2_ref, kcol_ref, pl_ref, ox, oy, oz, ot):
+        ft, neg2 = ft_ref[...], neg2_ref[...]
+        km = ((lambda u, v: fk.kmul(f, u, v, ft, diag=kdiag))
+              if kdiag != "flat" else None)
+        kmf = km or (lambda u, v: fk.kmul(f, u, v, ft))
+        kcol = kcol_ref[...]
+        zero_skip = jnp.zeros((1, tile), jnp.uint32)
+
+        def win_body(i, acc):
+            w = n_win - 1 - i
+
+            def dbl_body(_, a):
+                return _te_dbl_body(curve, *a, ft, neg2, kmul_fn=km)
+
+            x, y, z, t = jax.lax.fori_loop(0, c, dbl_body, acc)
+            return _te_full_add_body(
+                curve, x, y, z, t,
+                pl_ref[w, 0], pl_ref[w, 1], pl_ref[w, 2], pl_ref[w, 3],
+                zero_skip, ft, neg2, kcol, kmul_fn=km)
+
+        init = (pl_ref[n_win - 1, 0], pl_ref[n_win - 1, 1],
+                pl_ref[n_win - 1, 2], pl_ref[n_win - 1, 3])
+        x, y, z, t = jax.lax.fori_loop(1, n_win, win_body, init)
+        ox[...] = x
+        oy[...] = y
+        oz[...] = z
+        ot[...] = t
+
+    vspec = lambda shape: pl.BlockSpec(shape, lambda: tuple([0] * len(shape)),
+                                       memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[vspec((n, n + 2)), vspec((n, 1)), vspec((n, 1)),
+                  vspec((n_win, 4, n, tile))],
+        out_specs=tuple(vspec((n, tile)) for _ in range(4)),
+        out_shape=tuple(jax.ShapeDtypeStruct((n, tile), jnp.uint32)
+                        for _ in range(4)),
+        interpret=interpret,
+    )
+    ft_np, neg2_np = fk.fold_table_t(f), fk.neg2_col(f)
+    kcol_np = np.asarray(limbs_from_int(k_int, n), np.uint32)[:, None]
+
+    def fn(planes):
+        return call(jnp.asarray(ft_np), jnp.asarray(neg2_np),
+                    jnp.asarray(kcol_np), planes)
+
+    return fn
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def combine_te_pallas(curve: CurveSpec, c: int, interpret: bool,
+                      window_sums):
+    """Pallas form of `te_path._combine_core_te`: window_sums is a TePoint
+    of (n_win, L) planes; returns the combined single TePoint ((L,) planes)."""
+    from ..curve import te as te_mod
+    n_win = window_sums.x.shape[0]
+    nl = curve.field.n_limbs
+    tile = 128
+    # (n_win, 4, N, tile): limb-major, broadcast across the lane tile
+    planes = jnp.stack(
+        [jnp.broadcast_to(a.reshape(n_win, nl, 1)[:, None], (n_win, 1, nl, tile))
+         for a in window_sums], axis=1).reshape(n_win, 4, nl, tile)
+    fn = make_te_combine(curve, n_win, c, interpret)
+    x, y, z, t = fn(planes)
+    return te_mod.TePoint(x[:, 0], y[:, 0], z[:, 0], t[:, 0])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def combine_te_batch_pallas(curve: CurveSpec, c: int, interpret: bool,
+                            window_sums):
+    """Lane-BATCHED window combine: window_sums is a TePoint of
+    (n_steps, B, L) planes with B <= 128 independent combines riding the
+    lane axis; returns a TePoint of (B, L) planes.  Same kernel as
+    `combine_te_pallas` (the body is lane-parallel already) — used for the
+    per-window fold chains of the merge tails, where the XLA form's
+    sequential tiny ops are pure per-op overhead."""
+    from ..curve import te as te_mod
+    n_steps, b = window_sums.x.shape[:2]
+    assert b <= 128, b
+    nl = curve.field.n_limbs
+    tile = 128
+    planes = jnp.stack(
+        [jnp.moveaxis(jnp.pad(a, ((0, 0), (0, tile - b), (0, 0))), -1, 1)
+         for a in window_sums], axis=1)              # (steps, 4, nl, tile)
+    fn = make_te_combine(curve, n_steps, c, interpret)
+    x, y, z, t = fn(planes)
+    return te_mod.TePoint(x.T[:b], y.T[:b], z.T[:b], t.T[:b])
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10))
 def accumulate_te_pallas(curve: CurveSpec, c: int, cap: int, packed,
                          digits, perm, starts, counts, n_buckets_eff=None,
@@ -967,6 +1103,215 @@ def accumulate_te_pallas(curve: CurveSpec, c: int, cap: int, packed,
         *(o.T[:lanes].reshape(n_win, n_buckets_eff, nl) for o in out))
 
 
+@functools.lru_cache(maxsize=None)
+def make_te_mixed_add_slab(curve: CurveSpec, n_lanes: int, tile: int,
+                           s_ranks: int, interpret: bool = False,
+                           kmul_mode: str | None = None):
+    """Slab-consuming TE mixed add: fn(x, y, z, t, slab, valid) -> (x,y,z,t).
+
+    slab: (s_ranks, rows_pad, n_lanes) u32 — `s_ranks` PRE-FETCHED packed
+    rows per lane (from the bucket-major SORTED table, so the XLA-side fetch
+    is a contiguous S-row strip per lane: ~2.5x cheaper than per-rank row
+    gathers, measured scripts/microbench_shuffle.py).  Row `_SLAB_SIGN_ROW`
+    carries the digit sign (sorted alongside the point).  valid:
+    (s_ranks, 1, n_lanes) u32.  The kernel runs the s_ranks sequential
+    unified mixed adds in VMEM."""
+    f = curve.field
+    n = f.n_limbs
+    h = (n + 1) // 2
+    rows_pad = _slab_rows(n)
+    srow = _sign_row(n)
+    assert n_lanes % tile == 0
+    if kmul_mode is None:
+        kmul_mode = _kmul_mode()
+    kbase, kdiag = _parse_kmul_mode(kmul_mode)
+    if kbase == "mxu":
+        smat_np, fmat_np, _, _ = fk.mxu_tables(f)
+        extra_np = (smat_np, fmat_np)
+    elif kbase == "hybrid":
+        _, fmat_np, _, _ = fk.mxu_tables(f)
+        extra_np = (fmat_np,)
+    else:
+        extra_np = ()
+
+    def kernel(*refs):
+        (ft_ref, neg2_ref, slab_ref, valid_ref,
+         x_ref, y_ref, z_ref, t_ref) = refs[:8]
+        ox_ref, oy_ref, oz_ref, ot_ref = refs[-4:]
+        ft, neg2 = ft_ref[...], neg2_ref[...]
+        if kbase == "mxu":
+            smat, fmat = refs[8][...], refs[9][...]
+            km = lambda u, v: fk.kmul_mxu(f, u, v, smat, fmat, ft)
+        elif kbase == "hybrid":
+            fmat = refs[8][...]
+            km = lambda u, v: fk.kmul_hybrid(f, u, v, fmat, ft, diag=kdiag)
+        elif kdiag != "flat":
+            km = lambda u, v: fk.kmul(f, u, v, ft, diag=kdiag)
+        else:
+            km = None
+
+        def unpack(sl):
+            return jnp.concatenate([sl & 0xFFFF, sl >> 16], axis=0)[:n]
+
+        def step(r, acc):
+            x, y, z, t = acc
+            rows = slab_ref[r]
+            valid = valid_ref[r] != 0
+            sign = rows[srow:srow + 1] != 0
+            yp = unpack(rows[0:h])
+            ym = unpack(rows[h:2 * h])
+            kt = unpack(rows[2 * h:3 * h])
+            yp, ym = (jnp.where(sign, ym, yp), jnp.where(sign, yp, ym))
+            one = (jax.lax.broadcasted_iota(jnp.uint32, (n, yp.shape[1]), 0)
+                   == 0).astype(jnp.uint32)
+            yp = jnp.where(valid, yp, one)
+            ym = jnp.where(valid, ym, one)
+            cterm = km(t, kt) if km else fk.kmul(f, t, kt, ft)
+            cterm = jnp.where(sign, fk.kneg(f, cterm, ft, neg2), cterm)
+            cterm = jnp.where(valid, cterm, jnp.zeros_like(cterm))
+            return _te_madd_body(curve, x, y, z, t, yp, ym, cterm, ft, neg2,
+                                 kmul_fn=km)
+
+        x, y, z, t = jax.lax.fori_loop(
+            0, s_ranks, step, (x_ref[...], y_ref[...], z_ref[...],
+                               t_ref[...]))
+        ox_ref[...] = x
+        oy_ref[...] = y
+        oz_ref[...] = z
+        ot_ref[...] = t
+
+    lane_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    slab_spec = pl.BlockSpec((s_ranks, rows_pad, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
+    vmask_spec = pl.BlockSpec((s_ranks, 1, tile), lambda i: (0, 0, i),
+                              memory_space=pltpu.VMEM)
+    ft_spec = pl.BlockSpec((n, n + 2), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    neg2_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [ft_spec, neg2_spec, slab_spec, vmask_spec,
+                lane_spec, lane_spec, lane_spec, lane_spec]
+    in_specs += [pl.BlockSpec(m_.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM) for m_ in extra_np]
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_lanes // tile,),
+        in_specs=in_specs,
+        out_specs=(lane_spec, lane_spec, lane_spec, lane_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((n, n_lanes), jnp.uint32)
+                        for _ in range(4)),
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        interpret=interpret,
+    )
+    ft_np, neg2_np = fk.fold_table_t(f), fk.neg2_col(f)
+
+    def fn(x, y, z, t, slab, valid):
+        extra = tuple(jnp.asarray(m_) for m_ in extra_np)
+        return call(jnp.asarray(ft_np), jnp.asarray(neg2_np),
+                    slab, valid, x, y, z, t, *extra)
+
+    return fn
+
+
+def _slab_rows(n_limbs: int) -> int:
+    """Sorted-table row width: 3h packed words + 1 sign word, padded to a
+    sublane multiple."""
+    h = (n_limbs + 1) // 2
+    w = 3 * h + 1
+    return w + (-w) % 8
+
+
+def _sign_row(n_limbs: int) -> int:
+    return 3 * ((n_limbs + 1) // 2)
+
+
+# ranks per fetched strip: descriptor amortization vs over-fetch waste
+# (half a strip per bucket on average)
+SLAB_S = 8
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def accumulate_te_sorted(curve: CurveSpec, c: int, nbe: int, s_ranks: int,
+                         interpret: bool, table, starts, counts):
+    """Bucket-major SORTED-table accumulate: the physical row reorder
+    (one `lax.sort` with full row payload — 29 ns/row, CHEAPER than a
+    single random-row gather at 74 ns/row on v5e) happened upstream in
+    `sort_rows_te`; this pass reads contiguous S-row strips per (bucket)
+    lane, so the descriptor-latency-bound random gather of the unsorted
+    path disappears.  The reference's partition/sort pipeline
+    (`Partition1024.cu`/`SortCounts.cu`) plays the same role for warp
+    convergence; here it buys DMA contiguity.
+
+    table: (R_pad/S, S*rows_pad) u32 — sorted rows, strip-reshaped.
+    starts/counts: (nbe+1,) positions of each bucket's run (bucket 0 =
+    dropped zero digits).  Strips are fetched at S-ALIGNED positions
+    (bucket runs start mid-strip; the head overlap is masked invalid), so
+    no alignment padding of the table is needed.  Returns a TePoint of
+    (1, nbe) lanes (single window group — the collapsed-MSM layout)."""
+    from ..curve import te as te_mod
+    nl = curve.field.n_limbs
+    rows_pad = _slab_rows(nl)
+    S = s_ranks
+    n_strip = table.shape[0]
+    lanes = nbe
+    tile = 512 if lanes >= 512 else 128
+    pad_lanes = (-lanes) % tile
+    total = lanes + pad_lanes
+
+    starts_b = starts[1:nbe + 1]
+    counts_b = counts[1:nbe + 1]
+    if pad_lanes:
+        starts_b = jnp.pad(starts_b, (0, pad_lanes))
+        counts_b = jnp.pad(counts_b, (0, pad_lanes))
+
+    order = jnp.argsort(-counts_b)
+    st_s = starts_b[order]
+    ct_s = counts_b[order]
+    base_s = st_s // S                       # first strip index per lane
+    off_s = st_s % S                         # rank offset within it
+
+    one = jnp.broadcast_to(
+        jnp.asarray(limbs_from_int(1, nl))[:, None], (nl, total))
+
+    prefixes = [total]
+    while _next_prefix(prefixes[-1], tile) < prefixes[-1]:
+        prefixes.append(_next_prefix(prefixes[-1], tile))
+    # traced per-tier strip depths: lane needs ceil((off+count)/S) strips,
+    # bounded by floor(count/S)+2 for any off in [0, S)  (+2, not +1: a run
+    # with count%S + off > S crosses one extra strip boundary)
+    depths = [ct_s[p] // S + 2 for p in prefixes[1:]] + [ct_s[0] // S + 2]
+    running = depths[0]
+    traced_d = [running]
+    for d in depths[1:]:
+        running = jnp.maximum(running, d)
+        traced_d.append(running)
+
+    acc = (jnp.zeros((nl, total), jnp.uint32), one, one,
+           jnp.zeros((nl, total), jnp.uint32))
+    d_prev = 0
+    for p_len, d in zip(prefixes, traced_d):
+        addp = make_te_mixed_add_slab(curve, p_len, min(tile, p_len), S,
+                                      interpret)
+        base_p, off_p, ct_p = base_s[:p_len], off_s[:p_len], ct_s[:p_len]
+
+        def tbody(k, a, base_p=base_p, off_p=off_p, ct_p=ct_p, addp=addp):
+            blk = jnp.clip(base_p + k, 0, n_strip - 1)
+            slab = jnp.take(table, blk, axis=0)          # (p, S*rows_pad)
+            slab = slab.reshape(-1, S, rows_pad).transpose(1, 2, 0)
+            rr = (k * S + jnp.arange(S)[:, None]) - off_p[None, :]
+            valid = ((rr >= 0) & (rr < ct_p[None, :])).astype(jnp.uint32)
+            return addp(a[0], a[1], a[2], a[3], slab, valid[:, None, :])
+
+        sub = tuple(a[:, :p_len] for a in acc)
+        sub = jax.lax.fori_loop(d_prev, d, tbody, sub)
+        acc = tuple(acc[q].at[:, :p_len].set(sub[q]) for q in range(4))
+        d_prev = d
+    inv = jnp.argsort(order)
+    out = tuple(a[:, inv] for a in acc)
+    return te_mod.TePoint(*(o.T[:lanes].reshape(1, nbe, nl) for o in out))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def merge_te_triangle_pallas(curve: CurveSpec, c: int, interpret: bool,
                              bucket_sums):
@@ -1006,13 +1351,33 @@ def merge_te_triangle_pallas(curve: CurveSpec, c: int, interpret: bool,
     acc_s, acc_u = jax.lax.fori_loop(0, s, body, (ident, ident))
     t_q = te_mod.TePoint(*(a.T.reshape(n_win, c_lanes, nl) for a in acc_s))
     u_q = te_mod.TePoint(*(a.T.reshape(n_win, c_lanes, nl) for a in acc_u))
-    u_tot = te_path.sum_axis(curve, u_q, 1)
-    v = jax.vmap(functools.partial(te_path._merge_core_te, curve))(
-        te_mod.TePoint(*(a[:, 1:] for a in t_q)))
-    sv = jax.lax.fori_loop(
-        0, s.bit_length() - 1,
-        lambda _, a: tuple(te_mod.dbl(curve, te_mod.TePoint(*a))), tuple(v))
-    return te_mod.add(curve, u_tot, te_mod.TePoint(*sv))
+    # Tail: U_tot = sum_q U_q and the per-bit sums S_j of
+    # V = sum_q q*T_q are WIDE log-depth XLA trees (fine as XLA — the
+    # per-op overhead amortizes over thousands of lanes); the two
+    # SEQUENTIAL fold chains (sum_j 2^j S_j, then U_tot + 2^log2(S)*V)
+    # reuse the lane-batched combine KERNEL, because as XLA they are
+    # ~n_bits*(dbl+add) single-lane op chains paying per-op overhead
+    # (the r2 form spent ~0.1 s here per MSM).
+    u_tot = te_path.sum_axis(curve, u_q, 1)                    # (W,)
+    n_bits = max(1, (c_lanes - 1).bit_length())
+    q_ids = np.arange(c_lanes, dtype=np.uint32)
+    mask = jnp.asarray(
+        np.stack([((q_ids >> j) & 1) == 1 for j in range(n_bits)]))
+    expanded = te_mod.select(
+        mask[None, :, :],
+        te_mod.TePoint(*(a[:, None] for a in t_q)),
+        te_mod.identity(curve, (n_win, n_bits, c_lanes)))
+    s_sums = te_path.sum_axis(curve, expanded, 2)              # (W, bits)
+    # fold MSB-first: V_w = sum_j 2^j S_jw  ==  window-combine with c=1
+    # over n_bits steps, the W windows riding the kernel's lane axis
+    sbt = te_mod.TePoint(*(jnp.moveaxis(a, 1, 0) for a in s_sums))
+    v = combine_te_batch_pallas(curve, 1, interpret, sbt)      # (W,)
+    # result_w = U_tot_w + 2^log2(S) * V_w  ==  combine with c=log2(S)
+    # over the 2-step stack [U_tot; V]
+    pair = te_mod.TePoint(*(jnp.stack([ut, vv])
+                            for ut, vv in zip(u_tot, v)))
+    return combine_te_batch_pallas(curve, max(1, s.bit_length() - 1),
+                                   interpret, pair)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))

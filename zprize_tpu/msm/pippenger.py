@@ -584,8 +584,90 @@ def _msm_te_device(curve: CurveSpec, c: int, gspec, tiers_spec,
     # a single lane (~100 ms measured through the remote dispatch path).
     # Canonicalize IN-GRAPH: an eager to_canonical on the host would pay the
     # ~30 ms remote-dispatch floor for every one of its ~100 tiny ops.
-    combined = te_path._combine_core_te(curve, c, stacked)
+    if use_pallas:
+        from .accum_kernel import combine_te_pallas
+        combined = combine_te_pallas(curve, c, False, stacked)
+    else:
+        combined = te_path._combine_core_te(curve, c, stacked)
     f = curve.field
+    return tuple(fp.to_canonical(f, a) for a in
+                 (combined.x, combined.y, combined.z))
+
+
+def _te_result_host(curve: CurveSpec, res_can) -> sw.Point:
+    """Canonical device TE (x, y, z) planes -> SW projective point via the
+    exact host-int conversion (te.te_to_sw_host; see its docstring for why
+    the Fermat ladders stay on the host)."""
+    from ..curve import te
+    from ..field.spec import int_from_limbs
+    f = curve.field
+    xi, yi, zi = (int_from_limbs(np.asarray(jax.device_get(a)))
+                  for a in res_can)
+    sx, sy, sz = te.te_to_sw_host(curve, xi, yi, zi)
+    return sw.Point(fp.from_ints(f, [sx])[0], fp.from_ints(f, [sy])[0],
+                    fp.from_ints(f, [sz])[0])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _msm_te_sorted_device(curve: CurveSpec, c: int, g: int, m: int,
+                          n: int, interpret: bool, packed, scalars, inf):
+    """Single-dispatch collapsed TE MSM on the SORTED-table accumulate
+    (`accum_kernel.accumulate_te_sorted`): digits -> one full-row-payload
+    sort per bucket set -> strip-slab accumulate -> triangle merge ->
+    window combine, all fused.  The physical row sort replaces both the
+    key+iota sort AND the per-rank random row gathers of the gather path
+    (A/B: scripts/microbench_shuffle.py — payload sort 29 ns/row vs 74
+    ns/row per gathered row on v5e)."""
+    from ..curve import te
+    from . import te_path
+    from .accum_kernel import (SLAB_S, _slab_rows, accumulate_te_sorted,
+                               combine_te_pallas, merge_buckets_te_pallas,
+                               merge_te_triangle_pallas)
+    f = curve.field
+    nl = f.n_limbs
+    h = (nl + 1) // 2
+    rows_pad = _slab_rows(nl)
+    assert 3 * h + 1 <= rows_pad
+    nbe = 1 << (c - 1)
+    n_win = num_windows(curve, c)
+    S = SLAB_S
+
+    digits = signed_digits(curve, c, n_win, scalars)
+    digits = jnp.pad(digits, ((0, m * g - n_win), (0, 0)))
+    digits = digits.reshape(m, g, n).transpose(1, 0, 2).reshape(g, m * n)
+    digits = jnp.where(jnp.tile(inf, m)[None, :], 0, digits)
+
+    r_rows = m * n
+    r_pad = r_rows + (-r_rows) % S + S          # +1 safety strip of zeros
+    group_sums = []
+    for gi in range(g):
+        key = jnp.abs(digits[gi]).astype(jnp.uint32)
+        sign = (digits[gi] < 0).astype(jnp.uint32)
+        ops = ((key,) + tuple(packed[:, j] for j in range(3 * h))
+               + (sign,))
+        sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        skey = sorted_ops[0]
+        cols = list(sorted_ops[1:])
+        cols += [jnp.zeros_like(cols[0])] * (rows_pad - len(cols))
+        table = jnp.stack(cols, axis=1)                  # (R, rows_pad)
+        table = jnp.pad(table, ((0, r_pad - r_rows), (0, 0)))
+        table = table.reshape(r_pad // S, S * rows_pad)
+        bounds = jnp.searchsorted(skey,
+                                  jnp.arange(nbe + 2, dtype=skey.dtype))
+        starts = bounds[:-1]
+        counts = bounds[1:] - bounds[:-1]
+        group_sums.append(accumulate_te_sorted(
+            curve, c, nbe, S, interpret, table, starts, counts))
+    sums = te.TePoint(*(jnp.concatenate([getattr(s, fld) for s in group_sums],
+                                        axis=0)
+                        for fld in ("x", "y", "z", "t")))
+    if te_path.triangle_split(g, nbe) is not None:
+        merged = merge_te_triangle_pallas(curve, c, interpret, sums)
+    elif g * nbe * max(1, nbe.bit_length()) >= 4096:
+        merged = merge_buckets_te_pallas(curve, c, interpret, sums)
+    else:
+        merged = te_path.merge_buckets_te(curve, c, sums)
+    combined = combine_te_pallas(curve, c, interpret, merged)
     return tuple(fp.to_canonical(f, a) for a in
                  (combined.x, combined.y, combined.z))
 
@@ -601,6 +683,11 @@ def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
     n_win = num_windows(curve, c)
     full_nbe = 1 << (c - 1)
     if prepared.m > 1:
+        if use_pallas and os.environ.get("ZPRIZE_ACCUM", "sorted") == "sorted":
+            res_can = _msm_te_sorted_device(
+                curve, c, prepared.g, prepared.m, prepared.n, False,
+                prepared.packed, scalars, inf)
+            return _te_result_host(curve, res_can)
         cspec = (prepared.g, prepared.m, prepared.n)
         gdict = {full_nbe: list(range(prepared.g))}
     else:
@@ -622,14 +709,7 @@ def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
     res_can = _msm_te_device(curve, c, gspec, tiers_spec, use_pallas,
                              prepared.packed, digits, perm, starts, counts)
     # single-point TE->SW on the host (exact; see te.te_to_sw_host)
-    from ..curve import te
-    from ..field.spec import int_from_limbs
-    f = curve.field
-    xi, yi, zi = (int_from_limbs(np.asarray(jax.device_get(a)))
-                  for a in res_can)
-    sx, sy, sz = te.te_to_sw_host(curve, xi, yi, zi)
-    return sw.Point(fp.from_ints(f, [sx])[0], fp.from_ints(f, [sy])[0],
-                    fp.from_ints(f, [sz])[0])
+    return _te_result_host(curve, res_can)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
@@ -672,10 +752,14 @@ def _accum_merge_chunk_te(curve: CurveSpec, c: int, nbe: int, tiers,
     return te_path.merge_buckets_te(curve, c, sums)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _combine_finish_te(curve: CurveSpec, c: int, stacked):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _combine_finish_te(curve: CurveSpec, c: int, use_pallas: bool, stacked):
     from . import te_path
-    combined = te_path._combine_core_te(curve, c, stacked)
+    if use_pallas:
+        from .accum_kernel import combine_te_pallas
+        combined = combine_te_pallas(curve, c, False, stacked)
+    else:
+        combined = te_path._combine_core_te(curve, c, stacked)
     f = curve.field
     return tuple(fp.to_canonical(f, a) for a in
                  (combined.x, combined.y, combined.z))
@@ -714,13 +798,8 @@ def _msm_te_streamed(curve: CurveSpec, prepared: PreparedTe, inf, scalars,
                 window_sums[w] = te.TePoint(*(a[k] for a in merged))
     stacked = te.TePoint(*(jnp.stack([getattr(p, f) for p in window_sums])
                            for f in ("x", "y", "z", "t")))
-    res_can = _combine_finish_te(curve, c, stacked)
-    f = curve.field
-    xi, yi, zi = (int_from_limbs(np.asarray(jax.device_get(a)))
-                  for a in res_can)
-    sx, sy, sz = te.te_to_sw_host(curve, xi, yi, zi)
-    return sw.Point(fp.from_ints(f, [sx])[0], fp.from_ints(f, [sy])[0],
-                    fp.from_ints(f, [sz])[0])
+    res_can = _combine_finish_te(curve, c, use_pallas, stacked)
+    return _te_result_host(curve, res_can)
 
 
 def msm_jit_batch(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,

@@ -45,7 +45,13 @@ def _ntt_core(dom: Domain, a: jax.Array, pows: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def ntt(dom: Domain, a: jax.Array, axis: int = -2) -> jax.Array:
     """Forward NTT along `axis` (which indexes the n coefficients); the last
-    axis is always the limb plane."""
+    axis is always the limb plane.  On TPU backends, supported sizes run
+    the fused-VMEM Pallas kernel (`fr_kernel.py`, bit-exact)."""
+    from . import fr_kernel
+    if fr_kernel.enabled() and fr_kernel.supported(dom.spec, dom.log_n):
+        out = fr_kernel.ntt_core_pallas(dom, jnp.moveaxis(a, axis, -2),
+                                        inverse=False)
+        return jnp.moveaxis(out, -2, axis)
     out = _ntt_core(dom, jnp.moveaxis(a, axis, -2), dom.pows)
     return jnp.moveaxis(out, -2, axis)
 
@@ -53,6 +59,11 @@ def ntt(dom: Domain, a: jax.Array, axis: int = -2) -> jax.Array:
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def intt(dom: Domain, a: jax.Array, axis: int = -2) -> jax.Array:
     """Inverse NTT along `axis` (includes the 1/n scale)."""
+    from . import fr_kernel
+    if fr_kernel.enabled() and fr_kernel.supported(dom.spec, dom.log_n):
+        out = fr_kernel.ntt_core_pallas(dom, jnp.moveaxis(a, axis, -2),
+                                        inverse=True)
+        return jnp.moveaxis(out, -2, axis)
     out = _ntt_core(dom, jnp.moveaxis(a, axis, -2), dom.pows_inv)
     out = fp.mul(dom.spec, out, fp.constant(dom.spec, dom.n_inv))
     return jnp.moveaxis(out, -2, axis)
