@@ -683,7 +683,13 @@ def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
     n_win = num_windows(curve, c)
     full_nbe = 1 << (c - 1)
     if prepared.m > 1:
-        if use_pallas and os.environ.get("ZPRIZE_ACCUM", "sorted") == "sorted":
+        # Default is the gather accumulate: the fully-fused sorted-table
+        # dispatch (`_msm_te_sorted_device`) hits a pathological remote
+        # XLA:TPU compile (>35 min at 2^18 c=17, r3 measurement) — its
+        # kernels are sound (interpret-mode differential tests) but the
+        # single sort+multi-tier-slab+merge+combine program is too large
+        # for the compiler today.  Opt in with ZPRIZE_ACCUM=sorted.
+        if use_pallas and os.environ.get("ZPRIZE_ACCUM", "gather") == "sorted":
             res_can = _msm_te_sorted_device(
                 curve, c, prepared.g, prepared.m, prepared.n, False,
                 prepared.packed, scalars, inf)
