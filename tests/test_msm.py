@@ -128,3 +128,24 @@ def test_msm_compact_u16_scalars():
     assert np.array_equal(np.asarray(d32), np.asarray(d16))
     res = pippenger.msm(CURVE, aff, s16, c=c)
     check(res, expected_msm(pts, scalars))
+
+
+@pytest.mark.parametrize("c", [14, 15, 16, 17, 18])
+def test_signed_digits_wide_windows(c):
+    """Regression: a window of c >= 16 bits spans THREE base-2^15 limbs
+    when its in-word shift is high (sh + c > 30); the two-limb extraction
+    silently truncated the top bits (r2/r3 bench mismatch at c=17 — the
+    collapse planner's production window).  Every digit vector must
+    reconstruct the exact scalar, for both limb-plane and compact-u16
+    scalar forms."""
+    rng = random.Random(MSM_SEED + c)
+    n = 64
+    scalars = [rng.randrange(CURVE.order) for _ in range(n)]
+    scalars[:3] = [0, 1, CURVE.order - 1]
+    n_win = pippenger.num_windows(CURVE, c)
+    planes = fp.from_ints(CURVE.scalar, scalars)
+    for s in (planes, fp.compact_scalars(CURVE.scalar, planes)):
+        d = np.asarray(pippenger.signed_digits(CURVE, c, n_win, s)).astype(object)
+        for k in range(n):
+            val = sum(int(d[w, k]) << (c * w) for w in range(n_win))
+            assert val == scalars[k], (c, k)

@@ -51,7 +51,12 @@ def _run(aff, s, c, g, m):
             int(fp.to_ints(CURVE.field, a.y)[()]))
 
 
-@pytest.mark.parametrize("c,g_sel", [(8, "full"), (8, "two"), (10, "three")])
+@pytest.mark.parametrize("c,g_sel", [(8, "full"), (8, "two"), (10, "three"),
+                                     # production bench config (c=17, one
+                                     # bucket set): windows span 3 scalar
+                                     # limbs — the r2/r3 bench-mismatch
+                                     # regression (wide-window digits)
+                                     (17, "full")])
 def test_collapse_matches_oracle(fixture_points, c, g_sel):
     aff, s, exp = fixture_points
     w = pippenger.num_windows(CURVE, c)

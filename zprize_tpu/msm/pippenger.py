@@ -94,18 +94,24 @@ def _signed_digits_range(curve: CurveSpec, c: int, w0: int, w1: int,
         s = scalars
     else:
         s = fp.to_canonical(curve.scalar, scalars)  # limbs < 2**15
-    pad = [(0, 0)] * (s.ndim - 1) + [(0, 2)]
+    pad = [(0, 0)] * (s.ndim - 1) + [(0, 3)]
     s = jnp.pad(s, pad)
     digits = []
     carry = (jnp.zeros(s.shape[:-1], jnp.int32) if carry_in is None
              else carry_in)
     half = 1 << (c - 1)
+    # a window spans up to 3 base-2^15 limbs: bits [sh, sh+c) of the
+    # 45-bit limb triple, realized in u32 (sh <= 14, so c <= 18 keeps
+    # sh + c <= 32 and the third limb's contribution below bit 32)
+    assert c + BASE_BITS - 1 <= 32, f"window c={c} needs >3 limbs"
     for w in range(w0, w1):
         start = w * c
         i0, sh = divmod(start, BASE_BITS)
         word = (s[..., i0].astype(jnp.uint32)
                 | (s[..., i0 + 1].astype(jnp.uint32) << BASE_BITS))
-        raw = ((word >> sh) & ((1 << c) - 1)).astype(jnp.int32) + carry
+        word = (word >> sh) | (s[..., i0 + 2].astype(jnp.uint32)
+                               << (2 * BASE_BITS - sh))
+        raw = (word & ((1 << c) - 1)).astype(jnp.int32) + carry
         over = raw >= half
         digits.append(jnp.where(over, raw - (1 << c), raw))
         carry = over.astype(jnp.int32)
