@@ -74,16 +74,35 @@ def bench_ntt():
         return
     log(f"all 2^{logn} outputs verified vs the generic engine")
 
+    # Steady-state: K chained DEPENDENT transforms inside ONE dispatch,
+    # divided by K.  The axon tunnel has a ~24 ms dispatch+sync floor
+    # (measured: a no-op jit round trip costs the same as a full 128 MB
+    # transpose), so single-dispatch wall latency cannot resolve device
+    # time at all; the chain amortizes the floor without allowing any
+    # cross-transform overlap (each output feeds the next input).
+    chain_k = int(os.environ.get("BENCH_NTT_CHAIN", "8"))
+
+    @jax.jit
+    def chain(lo, hi):
+        def body(carry, _):
+            nlo, nhi = gl_kernel.ntt_fourstep_packed(l1, l2, *carry)
+            return (nlo, nhi), ()
+        (lo, hi), _ = jax.lax.scan(body, (lo, hi), None, length=chain_k)
+        return lo, hi
+
+    clo, chi2 = chain(alo, ahi)
+    jax.device_get(clo[0])          # warm the chained shape
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     times = []
     for _ in range(iters):
         t0 = time.time()
-        olo, ohi = gl_kernel.ntt_fourstep_packed(l1, l2, alo, ahi)
-        jax.device_get(olo[0])
-        times.append(time.time() - t0)
+        clo, chi2 = chain(alo, ahi)
+        jax.device_get(clo[0])
+        times.append((time.time() - t0) / chain_k)
     dt = sum(times) / iters * 1e3
     log(f"steady-state: {dt:.1f} ms per NTT "
-        f"(min {min(times)*1e3:.1f} / max {max(times)*1e3:.1f} ms)")
+        f"({chain_k}-chain x {iters} iters, "
+        f"min {min(times)*1e3:.1f} / max {max(times)*1e3:.1f} ms)")
     # baseline: 2.47 ms (supranational FPGA, 2^24)
     print(json.dumps({"metric": f"goldilocks_ntt_2^{logn}_ms",
                       "value": dt, "unit": "ms",

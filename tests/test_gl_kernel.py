@@ -94,3 +94,31 @@ def test_gl_fourstep_packed():
     ref = fp.to_ints(GOLDILOCKS, ntt_fourstep(
         GOLDILOCKS, fp.from_ints(GOLDILOCKS, xs), 5, 5))
     assert _unpack(qlo, qhi) == [int(v) for v in ref]
+
+
+def test_gl_grid_kernel_matches_generic():
+    """Stage-grid kernel (one butterfly stage per grid step, VMEM-resident
+    block) vs the generic engine, at sizes ABOVE the fully-unrolled cap
+    (2^10..2^12 — the production 2^24 four-step runs two 2^12 grid
+    passes)."""
+    from zprize_tpu.ntt.domain import Domain
+    from zprize_tpu.ntt.radix2 import ntt as ntt_generic
+    import jax
+    import jax.numpy as jnp
+
+    rng = random.Random(3)
+    for log_n in (10, 12):
+        n, nb = 1 << log_n, 128
+        vals = [rng.randrange(Q) for _ in range(n * nb)]
+        a = fp.from_ints(GOLDILOCKS, vals).reshape(n, nb, -1)
+        alo, ahi = G.from_limbs(GOLDILOCKS, a)
+        twlo, twhi, mask = GK._stage_tables(log_n, False)
+        call = GK._make_ntt_grid_call(log_n, nb, 128, True)
+        br = jnp.asarray(GK._bitrev_perm(log_n).astype(np.int32))
+        glo, ghi = call(jnp.asarray(twlo), jnp.asarray(twhi),
+                        jnp.asarray(mask),
+                        jnp.take(alo, br, 0), jnp.take(ahi, br, 0))
+        ref = ntt_generic(Domain(GOLDILOCKS, log_n), a, axis=0)
+        flo, fhi = G.from_limbs(GOLDILOCKS, ref)
+        clo, chi = G.gl_canon(glo, ghi)
+        assert bool(jnp.all((clo == flo) & (chi == fhi))), log_n

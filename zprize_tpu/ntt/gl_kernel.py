@@ -113,17 +113,110 @@ def _max_kernel_log() -> int:
 MAX_KERNEL_LOG = _max_kernel_log()
 
 
+@functools.lru_cache(maxsize=None)
+def _make_ntt_grid_call(log_n: int, n_batch: int, tile: int,
+                        interpret: bool):
+    """Whole-transform kernel with one butterfly STAGE per grid step.
+
+    The (n, tile) data block is revisited across the log_n inner grid
+    steps — Pallas keeps it resident in VMEM and writes it back to HBM
+    only after the last visit — so the kernel body holds ONE stage of
+    code instead of log_n unrolled stages.  That sidesteps the Mosaic
+    tall-unroll compile failure that capped the fused kernel at 2^9
+    (`MAX_KERNEL_LOG`): 2^10..2^12 transforms now run as a single Pallas
+    dispatch with zero inter-stage HBM traffic, where the recursive
+    split paid a full HBM round trip (bitrev gather + step-twiddle +
+    transpose) per extra level.  The butterfly pairing distance is a
+    dynamic roll shift (1 << s); per-stage twiddle/mask rows stream in
+    via the table block index map (supranational's on-chip twiddle
+    generation role, `rtl/ntt/ntt_twiddle.sv`)."""
+    n = 1 << log_n
+
+    def kernel(twlo_ref, twhi_ref, mask_ref, xlo_ref, xhi_ref,
+               olo_ref, ohi_ref):
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _init():
+            olo_ref[...] = xlo_ref[...]
+            ohi_ref[...] = xhi_ref[...]
+
+        xlo = olo_ref[...]
+        xhi = ohi_ref[...]
+        sh = jnp.int32(1) << s
+        tl = twlo_ref[0, 0][:, None]
+        th = twhi_ref[0, 0][:, None]
+        mk = mask_ref[0, 0][:, None]
+        dn_lo = pltpu.roll(xlo, n - sh, axis=0)   # [i] <- x[i + sh]
+        dn_hi = pltpu.roll(xhi, n - sh, axis=0)
+        up_lo = pltpu.roll(xlo, sh, axis=0)       # [i] <- x[i - sh]
+        up_hi = pltpu.roll(xhi, sh, axis=0)
+        pick_lo = jnp.where(mk != 0, dn_lo, xlo)
+        pick_hi = jnp.where(mk != 0, dn_hi, xhi)
+        base_lo = jnp.where(mk != 0, xlo, up_lo)
+        base_hi = jnp.where(mk != 0, xhi, up_hi)
+        q_lo, q_hi = G.gl_mul(tl, th, pick_lo, pick_hi)
+        a_lo, a_hi = G.gl_add(base_lo, base_hi, q_lo, q_hi)
+        s_lo, s_hi = G.gl_sub(base_lo, base_hi, q_lo, q_hi)
+        olo_ref[...] = jnp.where(mk != 0, a_lo, s_lo)
+        ohi_ref[...] = jnp.where(mk != 0, a_hi, s_hi)
+
+    data_spec = pl.BlockSpec((n, tile), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM)
+    # tables arrive as (log_n, 1, n): a (1, 1, n) block keeps the last two
+    # dims within the Mosaic (8, 128) tiling rule ((1, n) blocks of a
+    # (log_n, n) array are rejected)
+    tab_spec = pl.BlockSpec((1, 1, n), lambda i, s: (s, 0, 0),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_batch // tile, log_n),
+        in_specs=[tab_spec, tab_spec, tab_spec, data_spec, data_spec],
+        out_specs=(data_spec, data_spec),
+        out_shape=(jax.ShapeDtypeStruct((n, n_batch), jnp.uint32),
+                   jax.ShapeDtypeStruct((n, n_batch), jnp.uint32)),
+        # the stage body's gl_mul temporaries need ~38 MB of scoped VMEM at
+        # (4096, 128) blocks — above the 16 MB default limit but well under
+        # the v5e's 128 MiB physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        interpret=interpret,
+    )
+
+    def wrapped(twlo, twhi, mask, xlo, xhi):
+        return call(twlo[:, None, :], twhi[:, None, :], mask[:, None, :],
+                    xlo, xhi)
+
+    return wrapped
+
+
+# Largest transform run as a single stage-grid kernel (0 disables the
+# grid form and falls back to the recursive split).  Default OFF: measured
+# on v5e at 2^24 the grid form is correct but slightly slower (38.3 ms vs
+# 36.6 ms amortized) — the recursive split's glue passes (bitrev gathers,
+# step twiddle, transpose) are cheaper than expected because the stage
+# body's general gl_mul dominates; the next lever is shift-only twiddles
+# (2^6 sub-blocks whose twiddles are powers of two — cosic's
+# root-of-unity trick), not taller kernels.
+def _grid_max_log() -> int:
+    import os
+    return int(os.environ.get("ZPRIZE_NTT_GRIDLOG", "0"))
+
+
 def _ntt_axis0(log_n: int, xlo, xhi, inverse: bool, tile: int,
                interpret: bool):
     """Unscaled (inverse uses w^-1 only) NTT over axis 0 of (n, B) planes."""
     n, n_batch = xlo.shape
-    if log_n <= MAX_KERNEL_LOG:
+    if log_n <= max(MAX_KERNEL_LOG, _grid_max_log()):
         br = jnp.asarray(_bitrev_perm(log_n).astype(np.int32))
         xlo = jnp.take(xlo, br, axis=0)
         xhi = jnp.take(xhi, br, axis=0)
         twlo, twhi, mask = _stage_tables(log_n, inverse)
         tile = min(tile, n_batch)
-        call = _make_ntt_call(log_n, n_batch, tile, interpret)
+        if log_n <= MAX_KERNEL_LOG:
+            # small transforms: fully-unrolled single grid step
+            call = _make_ntt_call(log_n, n_batch, tile, interpret)
+        else:
+            call = _make_ntt_grid_call(log_n, n_batch, tile, interpret)
         return call(jnp.asarray(twlo), jnp.asarray(twhi), jnp.asarray(mask),
                     xlo, xhi)
     # recursive four-step split along the position axis
