@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -614,21 +615,16 @@ def _te_result_host(curve: CurveSpec, res_can) -> sw.Point:
                     fp.from_ints(f, [sz])[0])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
-def _msm_te_sorted_device(curve: CurveSpec, c: int, g: int, m: int,
-                          n: int, interpret: bool, packed, scalars, inf):
-    """Single-dispatch collapsed TE MSM on the SORTED-table accumulate
-    (`accum_kernel.accumulate_te_sorted`): digits -> one full-row-payload
-    sort per bucket set -> strip-slab accumulate -> triangle merge ->
-    window combine, all fused.  The physical row sort replaces both the
-    key+iota sort AND the per-rank random row gathers of the gather path
-    (A/B: scripts/microbench_shuffle.py — payload sort 29 ns/row vs 74
-    ns/row per gathered row on v5e)."""
-    from ..curve import te
-    from . import te_path
-    from .accum_kernel import (SLAB_S, _slab_rows, accumulate_te_sorted,
-                               combine_te_pallas, merge_buckets_te_pallas,
-                               merge_te_triangle_pallas)
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _sorted_table_te(curve: CurveSpec, c: int, g: int, m: int, n: int,
+                     packed, scalars, inf):
+    """Dispatch 1 of the sorted-table TE MSM: digits -> one
+    full-row-payload sort per bucket set -> strip-reshaped table +
+    bucket run bounds.  The physical row sort replaces both the key+iota
+    sort AND the per-rank random row gathers of the gather path (A/B:
+    scripts/microbench_shuffle.py — payload sort 29 ns/row vs 74 ns/row
+    per gathered row on v5e)."""
+    from .accum_kernel import SLAB_S, _slab_rows
     f = curve.field
     nl = f.n_limbs
     h = (nl + 1) // 2
@@ -645,25 +641,60 @@ def _msm_te_sorted_device(curve: CurveSpec, c: int, g: int, m: int,
 
     r_rows = m * n
     r_pad = r_rows + (-r_rows) % S + S          # +1 safety strip of zeros
-    group_sums = []
+    # payload operands per lax.sort call: 0 = all 41 in one sort; smaller
+    # values re-run the key comparisons per chunk but give the compiler
+    # small sort units.  Chunked sorts need a total order on ROWS (not just
+    # keys) or equal-key rows would be torn apart across chunks — the iota
+    # tiebreaker (num_keys=2) provides it; the key bytes moved per pass
+    # grow by 4B/row against the 160B payload.
+    split_ops = int(os.environ.get("ZPRIZE_SORT_OPS", "0"))
+    tables, starts_g, counts_g = [], [], []
     for gi in range(g):
         key = jnp.abs(digits[gi]).astype(jnp.uint32)
         sign = (digits[gi] < 0).astype(jnp.uint32)
-        ops = ((key,) + tuple(packed[:, j] for j in range(3 * h))
-               + (sign,))
-        sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
-        skey = sorted_ops[0]
-        cols = list(sorted_ops[1:])
+        payload = tuple(packed[:, j] for j in range(3 * h)) + (sign,)
+        if split_ops <= 0 or split_ops >= len(payload):
+            sorted_ops = jax.lax.sort((key,) + payload, num_keys=1,
+                                      is_stable=False)
+            skey = sorted_ops[0]
+            cols = list(sorted_ops[1:])
+        else:
+            iota = jax.lax.iota(jnp.uint32, key.shape[0])
+            skey = None
+            cols = []
+            for j0 in range(0, len(payload), split_ops):
+                chunk = payload[j0:j0 + split_ops]
+                out = jax.lax.sort((key, iota) + chunk, num_keys=2,
+                                   is_stable=False)
+                if skey is None:
+                    skey = out[0]
+                cols.extend(out[2:])
         cols += [jnp.zeros_like(cols[0])] * (rows_pad - len(cols))
         table = jnp.stack(cols, axis=1)                  # (R, rows_pad)
         table = jnp.pad(table, ((0, r_pad - r_rows), (0, 0)))
-        table = table.reshape(r_pad // S, S * rows_pad)
+        tables.append(table.reshape(r_pad // S, S * rows_pad))
         bounds = jnp.searchsorted(skey,
                                   jnp.arange(nbe + 2, dtype=skey.dtype))
-        starts = bounds[:-1]
-        counts = bounds[1:] - bounds[:-1]
-        group_sums.append(accumulate_te_sorted(
-            curve, c, nbe, S, interpret, table, starts, counts))
+        starts_g.append(bounds[:-1])
+        counts_g.append(bounds[1:] - bounds[:-1])
+    return (jnp.stack(tables), jnp.stack(starts_g), jnp.stack(counts_g))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _sorted_accum_te(curve: CurveSpec, c: int, g: int, interpret: bool,
+                     tables, starts, counts):
+    """Dispatch 2 of the sorted-table TE MSM: strip-slab accumulate per
+    bucket set -> triangle merge -> window combine -> canonical planes."""
+    from ..curve import te
+    from . import te_path
+    from .accum_kernel import (SLAB_S, accumulate_te_sorted,
+                               combine_te_pallas, merge_buckets_te_pallas,
+                               merge_te_triangle_pallas)
+    f = curve.field
+    nbe = 1 << (c - 1)
+    group_sums = [accumulate_te_sorted(curve, c, nbe, SLAB_S, interpret,
+                                       tables[gi], starts[gi], counts[gi])
+                  for gi in range(g)]
     sums = te.TePoint(*(jnp.concatenate([getattr(s, fld) for s in group_sums],
                                         axis=0)
                         for fld in ("x", "y", "z", "t")))
@@ -676,6 +707,20 @@ def _msm_te_sorted_device(curve: CurveSpec, c: int, g: int, m: int,
     combined = combine_te_pallas(curve, c, interpret, merged)
     return tuple(fp.to_canonical(f, a) for a in
                  (combined.x, combined.y, combined.z))
+
+
+def _msm_te_sorted_device(curve: CurveSpec, c: int, g: int, m: int,
+                          n: int, interpret: bool, packed, scalars, inf):
+    """Collapsed TE MSM on the SORTED-table accumulate
+    (`accum_kernel.accumulate_te_sorted`), as TWO device dispatches: the
+    XLA payload sort, then the Pallas strip accumulate + merge + combine.
+    The split exists for the XLA:TPU compiler, not the hardware: the
+    single fully-fused program hit a pathological remote compile (>35 min
+    at 2^18 c=17) while the halves compile in normal time; the extra
+    dispatch costs one ~24 ms tunnel round trip."""
+    tables, starts, counts = _sorted_table_te(curve, c, g, m, n,
+                                              packed, scalars, inf)
+    return _sorted_accum_te(curve, c, g, interpret, tables, starts, counts)
 
 
 def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,

@@ -216,10 +216,18 @@ def merge_buckets_te(curve: CurveSpec, c: int, bucket_sums: te.TePoint
 
 
 def triangle_split(n_win: int, n_buckets: int,
-                   target_lanes: int = 4096) -> tuple[int, int] | None:
+                   target_lanes: int | None = None) -> tuple[int, int] | None:
     """Pick the (chunks C, chunk size S) split for the triangle merge:
     C lanes wide (pow2, >=128 so kernel tiles align), S = B/C sequential
-    steps.  None if the bucket range is too small to be worth it."""
+    steps.  None if the bucket range is too small to be worth it.
+
+    The default width balances the strip phase (2S sequential kernel
+    rounds over W*C lanes) against the XLA-form bit-decomposition tail
+    (~n_bits(C) * C tree adds): wider C shortens the strip but grows the
+    tail super-linearly.  Tunable for sweeps via ZPRIZE_TRI_LANES."""
+    if target_lanes is None:
+        import os
+        target_lanes = int(os.environ.get("ZPRIZE_TRI_LANES", "4096"))
     if n_buckets < 1024:
         return None
     c_lanes = 128
