@@ -41,11 +41,15 @@ def main():
     probes = os.environ.get("PROBE", "table,accum").split(",")
 
     if "table" in probes:
-        args = (jax.ShapeDtypeStruct((r_rows, 3 * h + 1), jnp.uint32),
+        # (m*n, 3h): matches the production PreparedTe.packed shape exactly
+        # so compiling here warms the persistent cache for the real program
+        args = (jax.ShapeDtypeStruct((r_rows, 3 * h), jnp.uint32),
                 jax.ShapeDtypeStruct((n, CURVE.scalar.n_limbs), jnp.uint32),
                 jax.ShapeDtypeStruct((n,), jnp.bool_))
         t0 = time.time()
-        lowered = pippenger._sorted_table_te.lower(CURVE, c, g, m, n, *args)
+        split_ops = int(os.environ.get("ZPRIZE_SORT_OPS", "0"))
+        lowered = pippenger._sorted_table_te.lower(CURVE, c, g, m, n,
+                                                   split_ops, *args)
         t1 = time.time()
         lowered.compile()
         t2 = time.time()

@@ -125,3 +125,66 @@ def test_marlin_rejects_unsatisfied_witness(setup):
     z_bad[3] = (z_bad[3] + 1) % FR.p     # x2 inconsistent with x*x
     proof = ahp.prove(pk, z_bad)
     assert not ahp.verify(pk.vk, srs, z_bad[:r1.num_public], proof)
+
+
+def test_marlin_zk_prove_verify(setup):
+    """zk mode: mask polynomial present, proof verifies, and the witness
+    commitments are randomized (two provings of the same witness differ)."""
+    r1, srs, pk, z = setup
+    p1 = ahp.prove(pk, z, zk_rng=random.Random(11))
+    p2 = ahp.prove(pk, z, zk_rng=random.Random(12))
+    assert "s" in p1.comms and p1.comms["s"] is not None
+    assert ahp.verify(pk.vk, srs, z[:r1.num_public], p1)
+    assert ahp.verify(pk.vk, srs, z[:r1.num_public], p2)
+    # hiding blinders: same witness, fresh randomness -> fresh commitments
+    for nm in ("w", "z_a", "z_b", "s"):
+        assert p1.comms[nm] != p2.comms[nm], nm
+
+
+def test_marlin_rejects_tampered_degree_shift(setup, proof_of):
+    """The shifted degree-bound commitment is load-bearing: replacing
+    g_1_shift (or a_g_shift) with a wrong point must fail verification."""
+    import copy
+    r1, srs, pk, z = setup
+    pub = z[:r1.num_public]
+    for nm in ("g_1_shift", "a_g_shift"):
+        proof = copy.deepcopy(proof_of)
+        assert nm in proof.comms
+        proof.comms[nm] = proof.comms[nm.replace("_shift", "")]
+        assert not ahp.verify(pk.vk, srs, pub, proof)
+
+
+def test_kzg_degree_bound_enforced(setup):
+    """Degree-bound mechanics at the KZG layer: a polynomial AT the bound
+    passes the shifted-eval check; one OVER the bound cannot — its
+    best-effort shifted commitment (X^sh * p truncated to the SRS degree)
+    opens to the wrong value, and no exact commitment exists."""
+    from zprize_tpu.field import fp
+    from zprize_tpu.poly import ops as poly_ops
+    _, srs, pk, _ = setup
+    fr = CURVE.scalar
+    p = fr.p
+    rng = random.Random(31)
+    bound = 6
+    sh = srs.size - 1 - bound
+    zpt = rng.randrange(p)
+
+    def attempt(deg):
+        coeffs_i = [rng.randrange(p) for _ in range(deg + 1)]
+        coeffs = fp.from_ints(fr, coeffs_i)
+        y = sum(c * pow(zpt, i, p) for i, c in enumerate(coeffs_i)) % p
+        y_shift = pow(zpt, sh, p) * y % p
+        # shifted polynomial, TRUNCATED to what the SRS can commit
+        import jax.numpy as jnp
+        full = jnp.pad(coeffs, ((sh, 0), (0, 0)))[:srs.size]
+        c_shift = kzg.commit(srs, full)
+        # honest-best witness: quotient of (trunc - y_shift)/(X - z)
+        import jax
+        q, _ = poly_ops.divide_linear(fr, full, fp.constant(fr, zpt))
+        w = kzg.commit(srs, q)
+        return kzg.verify_many(
+            srs, [(kzg.point_ints(CURVE, c_shift), zpt, y_shift,
+                   kzg.point_ints(CURVE, w))], rng=random.Random(7))
+
+    assert attempt(bound)          # deg == bound: exact fit, check passes
+    assert not attempt(bound + 1)  # over bound: truncation breaks the check

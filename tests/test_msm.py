@@ -130,6 +130,44 @@ def test_msm_compact_u16_scalars():
     check(res, expected_msm(pts, scalars))
 
 
+@pytest.mark.parametrize("c", list(range(8, 19)))
+def test_msm_every_plannable_window(c):
+    """One small-MSM differential per plannable window width: the collapse
+    planner may legally pick ANY c in [8, 18] (`plan_collapse` c_range —
+    its ceiling is asserted against the digit-extraction limb-span limit),
+    so every one of them must have an end-to-end oracle check, including
+    the G>1 bucket-set split (r2's invalid headline bench came from the
+    then-untested planner choice c=17)."""
+    n = 32
+    pts, scalars = make_inputs(n, MSM_SEED + 100 + c)
+    aff, s = to_device(pts, scalars)
+    # force a G>1 collapse split: budget for m ~= 3 multiples
+    h = (CURVE.field.n_limbs + 1) // 2
+    cc, g, m = pippenger.plan_collapse(CURVE, n, c,
+                                       budget_bytes=3 * n * 3 * h * 4)
+    assert cc == c and g > 1, (cc, g, m)
+    from zprize_tpu.msm import te_path
+    packed, bad = te_path.prepare_points_collapsed(CURVE, aff.x, aff.y,
+                                                   aff.inf, c * g, m)
+    assert not bool(bad)
+    prepared = pippenger.PreparedTe(packed, c, g, m, n)
+    res = pippenger.msm(CURVE, aff, s, prepared=prepared)
+    check(res, expected_msm(pts, scalars))
+
+
+def test_plan_collapse_rejects_unsupported_window():
+    """The planner must never emit a window the digit extraction cannot
+    read (c + BASE_BITS - 1 <= 32): an explicit out-of-range request dies
+    loudly instead of producing silent garbage."""
+    from zprize_tpu.field.spec import BASE_BITS
+    c_max = 32 - BASE_BITS + 1
+    with pytest.raises(AssertionError):
+        pippenger.plan_collapse(CURVE, 1 << 16, c_max + 2)
+    # in-range boundary still plans fine
+    cc, g, m = pippenger.plan_collapse(CURVE, 1 << 16, c_max)
+    assert cc == c_max
+
+
 @pytest.mark.parametrize("c", [14, 15, 16, 17, 18])
 def test_signed_digits_wide_windows(c):
     """Regression: a window of c >= 16 bits spans THREE base-2^15 limbs

@@ -62,6 +62,31 @@ def test_sorted_path_matches_oracle(fixture_points):
     assert got == exp
 
 
+def test_sorted_table_chunked_sort_matches_oracle(fixture_points):
+    """ZPRIZE_SORT_OPS>0 (chunked multi-sort with iota tiebreak): a torn
+    row (equal-key rows split across sort chunks) would corrupt points
+    silently on the hardware opt-in path — prove the chunked table yields
+    the oracle MSM result.  (Row ORDER inside an equal-key run may legally
+    differ from the single-sort table; only the accumulated result is
+    contract.)"""
+    aff, s, exp = fixture_points
+    c, g = 8, 2
+    w = pippenger.num_windows(CURVE, c)
+    m = -(-w // g)
+    packed, bad = te_path.prepare_points_collapsed(CURVE, aff.x, aff.y,
+                                                   aff.inf, c * g, m)
+    assert not bool(bad)
+    tables, starts, counts = pippenger._sorted_table_te(
+        CURVE, c, g, m, N, 4, packed, s, aff.inf)
+    res_can = pippenger._sorted_accum_te(CURVE, c, g, True, tables, starts,
+                                         counts)
+    res = pippenger._te_result_host(CURVE, res_can)
+    a = sw.to_affine(CURVE, res)
+    got = (int(fp.to_ints(CURVE.field, a.x)[()]),
+           int(fp.to_ints(CURVE.field, a.y)[()]))
+    assert got == exp
+
+
 @pytest.mark.slow
 def test_merge_tail_kernel_matches_xla_triangle():
     """Fused triangle-merge tail kernel (interpret) == the XLA reference

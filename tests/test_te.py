@@ -108,6 +108,27 @@ def test_msm_te_vs_oracle(with_inf):
     assert _aff_ints(res) == expect
 
 
+def test_te_dbl_chain_kernel_interpret(pts8):
+    """Doubling-chain kernel (interpret) vs repeated te.dbl: the init-stage
+    precompute chain (`prepare_points_collapsed`) rides this kernel on TPU."""
+    from zprize_tpu.msm.accum_kernel import te_dbl_chain_pallas
+    base, tx, ty = pts8
+    f = CURVE.field
+    ext = te.TePoint(tx, ty, fp.ones(f, (8,)), fp.mul(f, tx, ty))
+    n_dbls = 5
+    got = te_dbl_chain_pallas(CURVE, n_dbls, True, ext)
+    ref = ext
+    for _ in range(n_dbls):
+        ref = te.dbl(CURVE, ref)
+    for i in range(8):
+        g = te.TePoint(*(a[i] for a in got))
+        r = te.TePoint(*(a[i] for a in ref))
+        assert _aff_ints(te.te_to_sw(CURVE, g)) == \
+            _aff_ints(te.te_to_sw(CURVE, r))
+        assert _aff_ints(te.te_to_sw(CURVE, g)) == \
+            ec_ref.ec_mul(base[i], 1 << n_dbls, P)
+
+
 def test_accumulate_te_pallas_interpret():
     """TE Pallas accumulate (interpret) vs the TE XLA reference, tiered."""
     from zprize_tpu.msm.accum_kernel import (accumulate_te_pallas,

@@ -19,9 +19,21 @@ entry domain.  The verifier's O(1) checks run on host ints (they touch a
 handful of field elements), with the two batched KZG openings verified by
 the real ate pairing (`pairing/host.py`).
 
-Known omissions vs the reference (documented): no zero-knowledge mask
-polynomial (proofs are not hiding — same status the PoSW track uses
-Marlin in), and no shifted-power degree-bound commitments for g_1/g_M.
+Soundness parity with the reference's sonic_pc
+(`snarkVM algorithms/src/polycommit/sonic_pc/mod.rs`):
+
+* **Degree-bound commitments** — g_1 (deg <= |H|-2) and each g_M
+  (deg <= |K|-2) additionally commit X^s * g via the shifted-powers SRS
+  slice (s = srs.size-1-bound); the verifier derives the shifted
+  evaluation as z^s * g(z) itself, so a g exceeding its bound cannot
+  produce a consistent shifted commitment (the X^s*g polynomial would
+  exceed the SRS degree).
+* **Zero-knowledge mask** (opt-in, `zk_rng`): round-1 oracles are blinded
+  with v_H-multiples (one fresh scalar each, the single-query hiding
+  bound) and a random mask polynomial s with sum_H s = 0 joins the outer
+  sumcheck (`ahp/prover/round_functions/first.rs` mask_poly role).  The
+  PoSW track keeps zk off — parity with the reference's non-hiding
+  Marlin mode there.
 """
 
 from __future__ import annotations
@@ -136,6 +148,29 @@ def _matvec_t(fr, im: IndexedMatrix, r_vec, n: int):
     return _seg_sum(fr, terms, im.cols_idx, n, im.max_col_count)
 
 
+def _add_at(fr, coeffs, terms, min_len: int):
+    """coeffs + sum (sign * r * X^pos) for terms = ((pos, r, sign), ...);
+    r: (B, L) planes.  Used for the v_H-multiple blinders (adding
+    r*(X^n - 1) touches exactly two coefficients)."""
+    ln = max(min_len, coeffs.shape[-2], max(pos for pos, _, _ in terms) + 1)
+    c = poly_ops.pad_to(fr, coeffs, ln)
+    for pos, r, sign in terms:
+        piece = c[..., pos, :]
+        piece = (fp.add(fr, piece, r) if sign > 0
+                 else fp.sub(fr, piece, r))
+        c = jnp.concatenate([c[..., :pos, :], piece[..., None, :],
+                             c[..., pos + 1:, :]], axis=-2)
+    return c
+
+
+def _shift_bounds(srs_size: int, n: int, ksz: int) -> tuple[int, int]:
+    """Shifted-powers offsets enforcing deg(g_1) <= n-2 and
+    deg(g_M) <= ksz-2 against the FULL SRS degree (srs.size-1) — the
+    degree-bound argument is relative to what tau powers exist, exactly as
+    sonic_pc's shifted_powers_of_beta_g slices."""
+    return srs_size - 1 - (n - 2), srs_size - 1 - (ksz - 2)
+
+
 def _host_point(curve: CurveSpec, xy):
     if xy is None:
         return sw.identity(curve)
@@ -178,14 +213,17 @@ def _challenge_int(tr: Transcript, curve) -> int:
 
 # ------------------------------------------------------------------ prover
 
-def prove(pk: IndexProverKey, assignment: list[int]) -> MarlinProof:
+def prove(pk: IndexProverKey, assignment: list[int],
+          zk_rng=None) -> MarlinProof:
     """assignment: full variable assignment (public prefix incl. leading 1).
     Returns a proof verifiable by `verify` with the real pairing check.
-    Single instance of `prove_batch`."""
-    return prove_batch(pk, [assignment])[0]
+    Single instance of `prove_batch`.  `zk_rng` (a random.Random) turns on
+    the hiding blinders + mask polynomial."""
+    return prove_batch(pk, [assignment], zk_rng=zk_rng)[0]
 
 
-def prove_batch(pk: IndexProverKey, assignments) -> list["MarlinProof"]:
+def prove_batch(pk: IndexProverKey, assignments,
+                zk_rng=None) -> list["MarlinProof"]:
     """B-instance Marlin prover: every round's polynomial work and every
     KZG commitment runs batched over the instance axis, with per-instance
     Fiat-Shamir riding a (B,)-lane duplex sponge — ONE dispatch set serves
@@ -253,9 +291,45 @@ def prove_batch(pk: IndexProverKey, assignments) -> list["MarlinProof"]:
     za_coeffs = intt(dom_h, z_m["a"])
     zb_coeffs = intt(dom_h, z_m["b"])
 
+    s_coeffs = None
+    if zk_rng is not None:
+        # hiding blinders: p + r*v_H leaves evaluations over H (and all
+        # sumcheck sums) untouched while randomizing the committed
+        # polynomial — one scalar per oracle covers the single beta query
+        # (zk_bound = 1, `ahp/prover/round_functions/first.rs`).
+        r_w, r_a, r_b = (fp.from_ints(fr, [zk_rng.randrange(p)
+                                           for _ in range(bsz)])
+                         for _ in range(3))
+        w_coeffs = _add_at(fr, w_coeffs,
+                           ((0, r_w, -1), (n, r_w, +1)), n + 1)
+        za_coeffs = _add_at(fr, za_coeffs,
+                            ((0, r_a, -1), (n, r_a, +1)), n + 1)
+        zb_coeffs = _add_at(fr, zb_coeffs,
+                            ((0, r_b, -1), (n, r_b, +1)), n + 1)
+        # z' = w'*v_X + x = z + r_w*(X^n - 1)(X^xsz - 1): keeps the round-2
+        # identity exact against the BLINDED w the verifier evaluates
+        z_coeffs = _add_at(fr, z_coeffs,
+                           ((0, r_w, +1), (xsz, r_w, -1), (n, r_w, -1),
+                            (n + xsz, r_w, +1)), n + xsz + 1)
+        # mask polynomial with sum_H s = 0 (coeffs at X^{jn} cancel):
+        # deg <= min(3n-3, cl-1) — randomizes h_1 across its full degree
+        # when cl allows (the sonic commit length covers 2n-1; the masked
+        # tail beyond that is irrelevant to the single-query opening)
+        deg_s = min(3 * n - 3, cl - 1)
+        s_rows = []
+        for _ in range(bsz):
+            cs = [zk_rng.randrange(p) for _ in range(deg_s + 1)]
+            cs[0] = -(sum(cs[j] for j in range(n, deg_s + 1, n))) % p
+            s_rows.append(cs)
+        s_coeffs = fp.from_ints(fr, s_rows)
+        comms_s = com(s_coeffs)
+
     comms = {"w": com(w_coeffs), "z_a": com(za_coeffs),
              "z_b": com(zb_coeffs)}                  # (B,)-lane points
-    for name in ("w", "z_a", "z_b"):
+    if s_coeffs is not None:
+        comms["s"] = comms_s
+    for name in (("w", "z_a", "z_b", "s") if s_coeffs is not None
+                 else ("w", "z_a", "z_b")):
         tr.absorb_point(comms[name])
     alpha = tr.challenge()                           # (B, L) device planes
     etas = {m: tr.challenge() for m in M_NAMES}
@@ -287,13 +361,19 @@ def prove_batch(pk: IndexProverKey, assignments) -> list["MarlinProof"]:
         fp.mul(fr, etas["b"][:, None, :], czb),
         fp.mul(fr, etas["c"][:, None, :], fp.mul(fr, cza, czb))])
     q1_evals = fp.sub(fr, fp.mul(fr, cr, summed), fp.mul(fr, ct, cz))
+    if s_coeffs is not None:
+        q1_evals = fp.add(fr, q1_evals, _coset_ntt(fr, s_coeffs, dom_h4, g))
     q1_coeffs = _coset_intt(fr, q1_evals, dom_h4, g)
     h1_coeffs, rem = _div_vanishing(fr, q1_coeffs, n)
     g1_coeffs = rem[..., 1:, :]                      # rem = X g_1 (sum = 0)
+    sh1, shm = _shift_bounds(srs.size, n, ksz)
     comms["g_1"] = com(g1_coeffs)
     comms["h_1"] = com(h1_coeffs)
+    # degree-bound commitment: X^sh1 * g_1 via the shifted SRS slice
+    comms["g_1_shift"] = kzg.commit_batch(srs, g1_coeffs, shift=sh1)
     tr.absorb_point(comms["g_1"])
     tr.absorb_point(comms["h_1"])
+    tr.absorb_point(comms["g_1_shift"])
     beta = tr.challenge()
 
     # ---- round 3: inner sumcheck over K per matrix ----------------------
@@ -328,14 +408,17 @@ def prove_batch(pk: IndexProverKey, assignments) -> list["MarlinProof"]:
         g_polys[m], h_polys[m] = g_m, h_m
         comms[f"{m}_g"] = com(g_m)
         comms[f"{m}_h"] = com(h_m)
+        comms[f"{m}_g_shift"] = kzg.commit_batch(srs, g_m, shift=shm)
         tr.absorb_point(comms[f"{m}_g"])
         tr.absorb_point(comms[f"{m}_h"])
+        tr.absorb_point(comms[f"{m}_g_shift"])
         tr.absorb_fr(sigmas[m])
     delta = tr.challenge()
 
     # ---- round 4: evaluations + batched openings ------------------------
+    h_order = H_OPEN + (("s",) if s_coeffs is not None else ())
     h_polys_beta = {"w": w_coeffs, "z_a": za_coeffs, "z_b": zb_coeffs,
-                    "g_1": g1_coeffs, "h_1": h1_coeffs}
+                    "g_1": g1_coeffs, "h_1": h1_coeffs, "s": s_coeffs}
     k_polys_delta = {}
     for m in M_NAMES:
         im = pk.matrices[m]
@@ -345,31 +428,49 @@ def prove_batch(pk: IndexProverKey, assignments) -> list["MarlinProof"]:
         k_polys_delta[f"{m}_g"] = g_polys[m]
         k_polys_delta[f"{m}_h"] = h_polys[m]
 
-    h_stack = jnp.stack([bpad(h_polys_beta[nm]) for nm in H_OPEN], axis=1)
+    h_stack = jnp.stack([bpad(h_polys_beta[nm]) for nm in h_order], axis=1)
     ev_b = jax.vmap(functools.partial(poly_ops.evaluate, fr))(
-        h_stack, beta)                               # (B, |H_OPEN|, L)
+        h_stack, beta)                               # (B, |h_order|, L)
     k_stack = jnp.stack([bpad(k_polys_delta[nm]) for nm in K_OPEN], axis=1)
     ev_d = jax.vmap(functools.partial(poly_ops.evaluate, fr))(
         k_stack, delta)
-    for i in range(len(H_OPEN)):
+    for i in range(len(h_order)):
         tr.absorb_fr(ev_b[:, i])
     for i in range(len(K_OPEN)):
         tr.absorb_fr(ev_d[:, i])
     u_beta = tr.challenge()
     u_delta = tr.challenge()
 
-    def batch_open(stacked, order, point, u):
+    def batch_open(stacked, point, u, shifted):
+        """Combined witness for the stacked base polys PLUS the shifted
+        degree-bound polys X^sh * g (their claimed evaluations are
+        z^sh * g(z), derived by the verifier — never sent)."""
+        n_base = stacked.shape[1]
         upows = jax.vmap(
-            lambda uu: poly_ops.powers(fr, uu, len(order)))(u)  # (B, K, L)
-        terms = fp.mul(fr, stacked, upows[:, :, None, :])
+            lambda uu: poly_ops.powers(fr, uu, n_base + len(shifted)))(u)
+        terms = fp.mul(fr, stacked, upows[:, :n_base, None, :])
         combined = terms[:, 0]
-        for i in range(1, len(order)):
+        for i in range(1, n_base):
             combined = fp.add(fr, combined, terms[:, i])
+        if shifted:
+            combined = poly_ops.pad_to(fr, combined, srs.size)
+            for j, (coeffs, sh) in enumerate(shifted):
+                plane = jnp.pad(coeffs,
+                                ((0, 0),
+                                 (sh, srs.size - sh - coeffs.shape[1]),
+                                 (0, 0)))
+                combined = fp.add(
+                    fr, combined,
+                    fp.mul(fr, plane, upows[:, n_base + j, None, :]))
         q, _ = poly_ops.divide_linear(fr, combined, point)
-        return com(q)
+        if q.shape[1] < cl:
+            q = poly_ops.pad_to(fr, q, cl)
+        return kzg.commit_batch(srs, q)
 
-    open_beta = batch_open(h_stack, H_OPEN, beta, u_beta)
-    open_delta = batch_open(k_stack, K_OPEN, delta, u_delta)
+    open_beta = batch_open(h_stack, beta, u_beta,
+                           [(g1_coeffs, sh1)])
+    open_delta = batch_open(k_stack, delta, u_delta,
+                            [(g_polys[m], shm) for m in M_NAMES])
 
     # ---- single batched host sync (proof materialization) ---------------
     names = list(comms)
@@ -389,7 +490,7 @@ def prove_batch(pk: IndexProverKey, assignments) -> list["MarlinProof"]:
             return None if infs[i][b] else (int(xs[i][b]), int(ys[i][b]))
         comms_h = {nm: pt(i) for i, nm in enumerate(names)}
         sigmas_h = {m: int(sig_ints[i][b]) for i, m in enumerate(M_NAMES)}
-        evals = {nm: int(evb_i[b][i]) for i, nm in enumerate(H_OPEN)}
+        evals = {nm: int(evb_i[b][i]) for i, nm in enumerate(h_order)}
         evals.update({nm: int(evd_i[b][i]) for i, nm in enumerate(K_OPEN)})
         proofs.append(MarlinProof(comms_h, sigmas_h, evals,
                                   pt(len(names)), pt(len(names) + 1)))
@@ -432,23 +533,28 @@ def _verify_checks(vk: IndexVerifierKey, srs: kzg.Srs, public: list[int],
     if len(public) > xsz or (public and public[0] != 1):
         return None
 
+    zk = "s" in proof.comms
+    h_order = H_OPEN + (("s",) if zk else ())
     tr = vk_transcript(curve, vk, label=0x4D41524C494E, absorb=_absorb_vk)
     for v in public:
         tr.absorb_fr(fp.constant(fr, v % p))
     try:
-        for name in ("w", "z_a", "z_b"):
+        for name in (("w", "z_a", "z_b", "s") if zk
+                     else ("w", "z_a", "z_b")):
             _absorb_host_point(tr, curve, proof.comms[name])
         alpha = _challenge_int(tr, curve)
         etas = {m: _challenge_int(tr, curve) for m in M_NAMES}
         _absorb_host_point(tr, curve, proof.comms["g_1"])
         _absorb_host_point(tr, curve, proof.comms["h_1"])
+        _absorb_host_point(tr, curve, proof.comms["g_1_shift"])
         beta = _challenge_int(tr, curve)
         for m in M_NAMES:
             _absorb_host_point(tr, curve, proof.comms[f"{m}_g"])
             _absorb_host_point(tr, curve, proof.comms[f"{m}_h"])
+            _absorb_host_point(tr, curve, proof.comms[f"{m}_g_shift"])
             tr.absorb_fr(fp.constant(fr, proof.sigmas[m]))
         delta = _challenge_int(tr, curve)
-        for name in H_OPEN + K_OPEN:
+        for name in h_order + K_OPEN:
             tr.absorb_fr(fp.constant(fr, proof.evals[name]))
         u_beta = _challenge_int(tr, curve)
         u_delta = _challenge_int(tr, curve)
@@ -476,12 +582,13 @@ def _verify_checks(vk: IndexVerifierKey, srs: kzg.Srs, public: list[int],
         elem = elem * wx % p
     z_beta = (ev["w"] * v_x_beta + xhat) % p
 
-    # outer sumcheck at beta
+    # outer sumcheck at beta (the zk mask s joins q_1 additively)
     r_ab = (v_h_alpha - v_h_beta) % p * pow((alpha - beta) % p, p - 2, p) % p
     summed = (etas["a"] * ev["z_a"] + etas["b"] * ev["z_b"]
               + etas["c"] * ev["z_a"] % p * ev["z_b"]) % p
     sigma3 = sum(etas[m] * proof.sigmas[m] for m in M_NAMES) % p
-    lhs = (r_ab * summed - sigma3 * z_beta) % p
+    s_beta = ev["s"] if zk else 0
+    lhs = (s_beta + r_ab * summed - sigma3 * z_beta) % p
     rhs = (ev["h_1"] * v_h_beta + beta * ev["g_1"]) % p
     if lhs != rhs:
         return None
@@ -498,8 +605,14 @@ def _verify_checks(vk: IndexVerifierKey, srs: kzg.Srs, public: list[int],
             return None
 
     # batched KZG openings: collect the two (C, z, y, W) host tuples;
-    # the caller runs them through ONE multi-pairing (`kzg.verify_many`)
-    def batch_tuple(order, comm_src, point, u, witness):
+    # the caller runs them through ONE multi-pairing (`kzg.verify_many`).
+    # `shifted` entries are the degree-bound commitments: their claimed
+    # evaluation is DERIVED as z^sh * y_base — never taken from the proof —
+    # so a g exceeding its bound cannot satisfy the check (X^sh * g would
+    # exceed the SRS degree and thus has no consistent commitment).
+    sh1, shm = _shift_bounds(srs.size, n, ksz)
+
+    def batch_tuple(order, comm_src, point, u, witness, shifted):
         combined, y, upow = None, 0, 1
         from ..pairing.host import g1_add, g1_mul
         for nm in order:
@@ -509,14 +622,22 @@ def _verify_checks(vk: IndexVerifierKey, srs: kzg.Srs, public: list[int],
                                   g1_mul(curve.field.p, c, upow))
             y = (y + upow * ev[nm]) % p
             upow = upow * u % p
+        for shift_nm, base_nm, sh in shifted:
+            c = proof.comms.get(shift_nm)
+            if c is not None:
+                combined = g1_add(curve.field.p, combined,
+                                  g1_mul(curve.field.p, c, upow))
+            y = (y + upow * pow(point, sh, p) * ev[base_nm]) % p
+            upow = upow * u % p
         return (combined, point, y, witness)
 
     return [
-        batch_tuple(H_OPEN, lambda nm: proof.comms[nm], beta, u_beta,
-                    proof.open_beta),
+        batch_tuple(h_order, lambda nm: proof.comms[nm], beta, u_beta,
+                    proof.open_beta, [("g_1_shift", "g_1", sh1)]),
         batch_tuple(
             K_OPEN,
             lambda nm: (kzg.point_ints(curve, vk.commitments[nm])
                         if nm in vk.commitments else proof.comms[nm]),
-            delta, u_delta, proof.open_delta),
+            delta, u_delta, proof.open_delta,
+            [(f"{m}_g_shift", f"{m}_g", shm) for m in M_NAMES]),
     ]

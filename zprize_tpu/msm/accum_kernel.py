@@ -890,6 +890,110 @@ def _te_dbl_body(curve: CurveSpec, x, y, z, t, ft, neg2, kmul_fn=None):
 
 
 @functools.lru_cache(maxsize=None)
+def make_te_dbl_chain(curve: CurveSpec, n_lanes: int, tile: int,
+                      n_dbls: int, interpret: bool = False,
+                      kmul_mode: str | None = None):
+    """fn(x, y, z, t) -> (x, y, z, t) after `n_dbls` sequential doublings;
+    limb-major (N, n_lanes) planes.
+
+    The init-stage workhorse: the window-precompute table
+    (`te_path.prepare_points_collapsed`, the `PrecomputePoints.cu:11` role)
+    needs (m-1)*shift sequential doublings of every point — as XLA ops each
+    dbl round-trips 8 limb planes through HBM (measured: 133.6 s prep at
+    2^18/m=16, ~20x the kernel form's per-row cost); in-kernel the whole
+    chain state lives in VMEM and HBM sees one read + one write per chain."""
+    f = curve.field
+    n = f.n_limbs
+    assert n_lanes % tile == 0
+    if kmul_mode is None:
+        kmul_mode = _kmul_mode()
+    kbase, kdiag = _parse_kmul_mode(kmul_mode)
+    if kbase == "mxu":
+        smat_np, fmat_np, _, _ = fk.mxu_tables(f)
+        extra_np = (smat_np, fmat_np)
+    elif kbase == "hybrid":
+        _, fmat_np, _, _ = fk.mxu_tables(f)
+        extra_np = (fmat_np,)
+    else:
+        extra_np = ()
+
+    def kernel(*refs):
+        (ft_ref, neg2_ref, x_ref, y_ref, z_ref, t_ref) = refs[:6]
+        ox_ref, oy_ref, oz_ref, ot_ref = refs[-4:]
+        ft, neg2 = ft_ref[...], neg2_ref[...]
+        if kbase == "mxu":
+            smat, fmat = refs[6][...], refs[7][...]
+            km = lambda u, v: fk.kmul_mxu(f, u, v, smat, fmat, ft)
+        elif kbase == "hybrid":
+            fmat = refs[6][...]
+            km = lambda u, v: fk.kmul_hybrid(f, u, v, fmat, ft, diag=kdiag)
+        elif kdiag != "flat":
+            km = lambda u, v: fk.kmul(f, u, v, ft, diag=kdiag)
+        else:
+            km = None
+
+        def body(_, a):
+            return _te_dbl_body(curve, *a, ft, neg2, kmul_fn=km)
+
+        x, y, z, t = jax.lax.fori_loop(
+            0, n_dbls, body,
+            (x_ref[...], y_ref[...], z_ref[...], t_ref[...]))
+        ox_ref[...] = x
+        oy_ref[...] = y
+        oz_ref[...] = z
+        ot_ref[...] = t
+
+    lane_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    ft_spec = pl.BlockSpec((n, n + 2), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    neg2_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [ft_spec, neg2_spec, lane_spec, lane_spec, lane_spec,
+                lane_spec]
+    in_specs += [pl.BlockSpec(m_.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM) for m_ in extra_np]
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_lanes // tile,),
+        in_specs=in_specs,
+        out_specs=(lane_spec, lane_spec, lane_spec, lane_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((n, n_lanes), jnp.uint32)
+                        for _ in range(4)),
+        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
+        interpret=interpret,
+    )
+    ft_np, neg2_np = fk.fold_table_t(f), fk.neg2_col(f)
+
+    def fn(x, y, z, t):
+        extra = tuple(jnp.asarray(m_) for m_ in extra_np)
+        return call(jnp.asarray(ft_np), jnp.asarray(neg2_np),
+                    x, y, z, t, *extra)
+
+    return fn
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def te_dbl_chain_pallas(curve: CurveSpec, n_dbls: int, interpret: bool,
+                        pt):
+    """`n_dbls` doublings of a TePoint with (n, L) row-major planes, via
+    the chain kernel (lane pad + limb-major transposes at the boundary)."""
+    from ..curve import te as te_mod
+    n = pt.x.shape[0]
+    tile = 512 if n >= 512 else 128
+    pad = (-n) % tile
+    planes = []
+    for a in pt:
+        a = a.T                                     # (L, n)
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+        planes.append(a)
+    fn = make_te_dbl_chain(curve, n + pad, tile, n_dbls, interpret)
+    out = fn(*planes)
+    return te_mod.TePoint(*(a[:, :n].T for a in out))
+
+
+@functools.lru_cache(maxsize=None)
 def make_te_combine(curve: CurveSpec, n_win: int, c: int,
                     interpret: bool = False, kmul_mode: str | None = None):
     """fn(planes) -> (x, y, z, t) single-point limb-major (N, TILE) planes

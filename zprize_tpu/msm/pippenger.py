@@ -281,7 +281,14 @@ def plan_collapse(curve: CurveSpec, n: int, c: int | None = None,
     row_bytes = 3 * h * 4
     m_cap = max(1, budget_bytes // max(1, n * row_bytes))
     best = None
-    c_range = [c] if c else range(8, 23)
+    # hard ceiling: the digit extraction reads a window from at most THREE
+    # base-2^15 limbs (c + BASE_BITS - 1 <= 32, `_signed_digits_range`);
+    # every c in this range has a small-MSM differential test
+    # (tests/test_msm.py) — r2 shipped an invalid bench from an untested
+    # c=17, and the r4 2^20 run crashed on an unsupported planner c=20.
+    c_max = 32 - BASE_BITS + 1          # 18 at BASE_BITS=15
+    c_range = [c] if c else range(8, c_max + 1)
+    assert all(8 <= cc <= c_max for cc in c_range), c_range
     for cc in c_range:
         w = num_windows(curve, cc)
         m = min(m_cap, w)
@@ -615,9 +622,9 @@ def _te_result_host(curve: CurveSpec, res_can) -> sw.Point:
                     fp.from_ints(f, [sz])[0])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _sorted_table_te(curve: CurveSpec, c: int, g: int, m: int, n: int,
-                     packed, scalars, inf):
+                     split_ops: int, packed, scalars, inf):
     """Dispatch 1 of the sorted-table TE MSM: digits -> one
     full-row-payload sort per bucket set -> strip-reshaped table +
     bucket run bounds.  The physical row sort replaces both the key+iota
@@ -641,13 +648,15 @@ def _sorted_table_te(curve: CurveSpec, c: int, g: int, m: int, n: int,
 
     r_rows = m * n
     r_pad = r_rows + (-r_rows) % S + S          # +1 safety strip of zeros
-    # payload operands per lax.sort call: 0 = all 41 in one sort; smaller
-    # values re-run the key comparisons per chunk but give the compiler
-    # small sort units.  Chunked sorts need a total order on ROWS (not just
-    # keys) or equal-key rows would be torn apart across chunks — the iota
-    # tiebreaker (num_keys=2) provides it; the key bytes moved per pass
-    # grow by 4B/row against the 160B payload.
-    split_ops = int(os.environ.get("ZPRIZE_SORT_OPS", "0"))
+    # `split_ops`: payload operands per lax.sort call — 0 = all 41 in one
+    # sort; smaller values re-run the key comparisons per chunk but give
+    # the compiler small sort units.  Chunked sorts need a total order on
+    # ROWS (not just keys) or equal-key rows would be torn apart across
+    # chunks — the iota tiebreaker (num_keys=2) provides it; the key bytes
+    # moved per pass grow by 4B/row against the 160B payload.  STATIC arg,
+    # resolved from ZPRIZE_SORT_OPS by the eager caller
+    # (`_msm_te_sorted_device`) so env changes are never swallowed by the
+    # jit trace cache.
     tables, starts_g, counts_g = [], [], []
     for gi in range(g):
         key = jnp.abs(digits[gi]).astype(jnp.uint32)
@@ -718,7 +727,8 @@ def _msm_te_sorted_device(curve: CurveSpec, c: int, g: int, m: int,
     single fully-fused program hit a pathological remote compile (>35 min
     at 2^18 c=17) while the halves compile in normal time; the extra
     dispatch costs one ~24 ms tunnel round trip."""
-    tables, starts, counts = _sorted_table_te(curve, c, g, m, n,
+    split_ops = int(os.environ.get("ZPRIZE_SORT_OPS", "0"))
+    tables, starts, counts = _sorted_table_te(curve, c, g, m, n, split_ops,
                                               packed, scalars, inf)
     return _sorted_accum_te(curve, c, g, interpret, tables, starts, counts)
 

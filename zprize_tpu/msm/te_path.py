@@ -82,18 +82,31 @@ def prepare_points_collapsed(curve: CurveSpec, x, y, inf, shift: int,
 
     The doubling chains run in extended coordinates (one lax.scan of
     fori-looped dbls); all m*n points are normalized back to affine with a
-    single batched inversion before packing."""
+    single batched inversion before packing.  On TPU the per-step chain is
+    the `accum_kernel.make_te_dbl_chain` Pallas kernel — the XLA-op chain
+    round-trips 8 limb planes through HBM per dbl and measured 133.6 s at
+    2^18/m=16 (BENCH_r03); the kernel form keeps the chain state in VMEM."""
+    import os
     f = curve.field
     tx, ty, bad = te.sw_to_te(curve, x, y, inf)
     base = te.TePoint(tx, ty, fp.ones(f, tx.shape[:-1]),
                       fp.mul(f, tx, ty))
+    use_kernel = (jax.default_backend() not in ("cpu",)
+                  and not os.environ.get("ZPRIZE_NO_PALLAS"))
 
-    def step(cur, _):
-        cur = te.TePoint(*cur)
-        nxt = jax.lax.fori_loop(
-            0, shift, lambda _, a: tuple(te.dbl(curve, te.TePoint(*a))),
-            tuple(cur))
-        return nxt, nxt
+    if use_kernel:
+        from .accum_kernel import te_dbl_chain_pallas
+
+        def step(cur, _):
+            nxt = tuple(te_dbl_chain_pallas(curve, shift, False,
+                                            te.TePoint(*cur)))
+            return nxt, nxt
+    else:
+        def step(cur, _):
+            nxt = jax.lax.fori_loop(
+                0, shift, lambda _, a: tuple(te.dbl(curve, te.TePoint(*a))),
+                tuple(cur))
+            return nxt, nxt
 
     _, rest = jax.lax.scan(step, tuple(base), None, length=m - 1)
     all_pts = te.TePoint(*(jnp.concatenate([b[None], r], axis=0)

@@ -6,8 +6,10 @@ final product-of-pairings check of every reference verifier
 `snarkVM algorithms/src/polycommit/kzg10/mod.rs` `check`) involves a handful
 of group elements — a few hundred bytes — so, exactly like the reference's
 host-side final reduction (`yrrid-msm/HostReduce.cpp`), it runs on the host
-next to the device-side heavy lifting.  The device tower (`tower.py`) is
-differentially tested against this engine.
+next to the device-side heavy lifting.  There is deliberately no device-side
+Fq12 tower: pairing counts per proof are tiny (one multi-pairing), so this
+host engine IS the production path, verified by bilinearity/known-answer
+tests in `tests/test_pairing.py`.
 
 Everything is plain python ints; no JAX.  Structure: Fq2 as (c0, c1) tuples,
 Fq6 as (Fq2, Fq2, Fq2), Fq12 as (Fq6, Fq6).  The Miller loop runs on the

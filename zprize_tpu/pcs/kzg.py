@@ -46,16 +46,21 @@ class Srs:
     def size(self):
         return self.g1_powers.x.shape[0]
 
-    def prepared(self, n: int):
-        """Cached fixed-base MSM preprocessing for the length-n SRS prefix
-        (TE conversion + window-precompute table — the analog of the
+    def prepared(self, n: int, shift: int = 0):
+        """Cached fixed-base MSM preprocessing for the [shift, shift+n) SRS
+        slice (TE conversion + window-precompute table — the analog of the
         reference's persisted `snarkvm_msm_cache`).  The SRS never changes,
-        so every commit of a given size reuses the same table."""
-        if n not in self._prepared:
-            pts = sw.Affine(self.g1_powers.x[:n], self.g1_powers.y[:n],
-                            self.g1_powers.inf[:n])
-            self._prepared[n] = pippenger.prepare_points(self.curve, pts)
-        return self._prepared[n]
+        so every commit of a given size reuses the same table.  `shift > 0`
+        is the sonic_pc shifted-powers slice (degree-bound commitments:
+        com(X^shift * p) = MSM(srs[shift:shift+n], p) —
+        `snarkVM polycommit/sonic_pc/mod.rs` shifted_powers_of_beta_g)."""
+        key = (shift, n)
+        if key not in self._prepared:
+            pts = sw.Affine(self.g1_powers.x[shift:shift + n],
+                            self.g1_powers.y[shift:shift + n],
+                            self.g1_powers.inf[shift:shift + n])
+            self._prepared[key] = pippenger.prepare_points(self.curve, pts)
+        return self._prepared[key]
 
 
 def setup_test_srs(curve: CurveSpec, size: int, seed: int = 0) -> Srs:
@@ -76,28 +81,34 @@ def setup_test_srs(curve: CurveSpec, size: int, seed: int = 0) -> Srs:
     return Srs(curve, sw.to_affine(curve, proj), h, tau_h, tau)
 
 
-def commit(srs: Srs, coeffs: jax.Array, c: int | None = None) -> sw.Point:
-    """Pedersen-free KZG commit: MSM(srs[:n], coeffs)."""
+def commit(srs: Srs, coeffs: jax.Array, c: int | None = None,
+           shift: int = 0) -> sw.Point:
+    """Pedersen-free KZG commit: MSM(srs[shift:shift+n], coeffs) — with
+    `shift` this commits X^shift * p(X) via the shifted-powers slice
+    (degree-bound enforcement, sonic_pc role)."""
     n = coeffs.shape[0]
-    assert n <= srs.size, "polynomial larger than SRS"
-    points = sw.Affine(srs.g1_powers.x[:n], srs.g1_powers.y[:n],
-                       srs.g1_powers.inf[:n])
+    assert shift + n <= srs.size, "polynomial larger than SRS"
+    points = sw.Affine(srs.g1_powers.x[shift:shift + n],
+                       srs.g1_powers.y[shift:shift + n],
+                       srs.g1_powers.inf[shift:shift + n])
     return pippenger.msm(srs.curve, points, coeffs, c=c,
-                         prepared=srs.prepared(n))
+                         prepared=srs.prepared(n, shift))
 
 
 def commit_batch(srs: Srs, coeffs: jax.Array, c: int | None = None,
-                 cap: int | None = None) -> sw.Point:
+                 cap: int | None = None, shift: int = 0) -> sw.Point:
     """Batched KZG commit: (B, n, L) coefficient planes -> (B,)-lane
     projective commitments in ONE jittable pass (no host sync) via the
     window-stacked batched MSM (`pippenger.msm_jit_batch`).  `cap` bounds
     per-bucket occupancy (default 4x the uniform mean; a loud in-graph
-    check raises on overflow rather than dropping points)."""
+    check raises on overflow rather than dropping points).  `shift` selects
+    the shifted-powers SRS slice (commits X^shift * p)."""
     import math
     bsz, n = coeffs.shape[:2]
-    assert n <= srs.size, "polynomial larger than SRS"
-    points = sw.Affine(srs.g1_powers.x[:n], srs.g1_powers.y[:n],
-                       srs.g1_powers.inf[:n])
+    assert shift + n <= srs.size, "polynomial larger than SRS"
+    points = sw.Affine(srs.g1_powers.x[shift:shift + n],
+                       srs.g1_powers.y[shift:shift + n],
+                       srs.g1_powers.inf[shift:shift + n])
     if c is None:
         c = pippenger.default_window_bits(n)
     if cap is None:
