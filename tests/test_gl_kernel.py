@@ -112,7 +112,7 @@ def test_gl_grid_kernel_matches_generic():
         vals = [rng.randrange(Q) for _ in range(n * nb)]
         a = fp.from_ints(GOLDILOCKS, vals).reshape(n, nb, -1)
         alo, ahi = G.from_limbs(GOLDILOCKS, a)
-        twlo, twhi, mask = GK._stage_tables(log_n, False)
+        twlo, twhi, mask, _sh = GK._stage_tables(log_n, False)
         call = GK._make_ntt_grid_call(log_n, nb, 128, True)
         br = jnp.asarray(GK._bitrev_perm(log_n).astype(np.int32))
         glo, ghi = call(jnp.asarray(twlo), jnp.asarray(twhi),

@@ -87,6 +87,33 @@ def test_sorted_table_chunked_sort_matches_oracle(fixture_points):
     assert got == exp
 
 
+def test_sorted_streamed_matches_oracle(fixture_points):
+    """Streamed-sorted path (m=1 scale regime: per-window dynamic digits,
+    row-run payload sorts, run chaining via the accumulator `init` lanes)
+    == oracle.  Run size 16 < N=48 forces three chained runs per window."""
+    aff, s, exp = fixture_points
+    import os
+    packed, bad = te_path.prepare_points(CURVE, aff.x, aff.y, aff.inf)
+    assert not bool(bad)
+    c = 8
+    prepared = pippenger.PreparedTe(packed, c,
+                                    pippenger.num_windows(CURVE, c), 1, N)
+    old = os.environ.get("ZPRIZE_SORT_RUN_LOG")
+    os.environ["ZPRIZE_SORT_RUN_LOG"] = "4"
+    try:
+        res = pippenger._msm_te_sorted_streamed(CURVE, prepared, aff.inf,
+                                                s, c, interpret=True)
+    finally:
+        if old is None:
+            del os.environ["ZPRIZE_SORT_RUN_LOG"]
+        else:
+            os.environ["ZPRIZE_SORT_RUN_LOG"] = old
+    a = sw.to_affine(CURVE, res)
+    got = (int(fp.to_ints(CURVE.field, a.x)[()]),
+           int(fp.to_ints(CURVE.field, a.y)[()]))
+    assert got == exp
+
+
 @pytest.mark.slow
 def test_merge_tail_kernel_matches_xla_triangle():
     """Fused triangle-merge tail kernel (interpret) == the XLA reference

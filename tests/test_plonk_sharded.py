@@ -101,8 +101,12 @@ def _membership_style_circuit(n_target: int):
 
 @pytest.mark.slow
 def test_sharded_prover_matches_and_verifies():
+    """Default gate count 2^16 (reference-meaningful scale on the 8-dev
+    mesh; the winderica workload is 2^28 across 6 servers) — override with
+    TEST_PLONK_SHARDED_LOG for quick local runs."""
+    import os
     mesh = make_mesh(8)
-    n_gates = 1 << 10
+    n_gates = 1 << int(os.environ.get("TEST_PLONK_SHARDED_LOG", "16"))
     cb, xv, out = _membership_style_circuit(n_gates)
     cc = cb.compile()
     assert cc.n == n_gates

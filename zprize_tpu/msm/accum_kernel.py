@@ -1337,7 +1337,7 @@ SLAB_S = 8
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def accumulate_te_sorted(curve: CurveSpec, c: int, nbe: int, s_ranks: int,
-                         interpret: bool, table, starts, counts):
+                         interpret: bool, table, starts, counts, init=None):
     """Bucket-major SORTED-table accumulate: the physical row reorder
     (one `lax.sort` with full row payload — 29 ns/row, CHEAPER than a
     single random-row gather at 74 ns/row on v5e) happened upstream in
@@ -1352,7 +1352,11 @@ def accumulate_te_sorted(curve: CurveSpec, c: int, nbe: int, s_ranks: int,
     dropped zero digits).  Strips are fetched at S-ALIGNED positions
     (bucket runs start mid-strip; the head overlap is masked invalid), so
     no alignment padding of the table is needed.  Returns a TePoint of
-    (1, nbe) lanes (single window group — the collapsed-MSM layout)."""
+    (1, nbe) lanes (single window group — the collapsed-MSM layout).
+
+    `init` (optional (1, nbe) TePoint): starting bucket lanes instead of
+    identity — lets the streamed-sorted MSM chain row-RUNS of one window
+    through repeated calls with zero extra add passes."""
     from ..curve import te as te_mod
     nl = curve.field.n_limbs
     rows_pad = _slab_rows(nl)
@@ -1391,8 +1395,21 @@ def accumulate_te_sorted(curve: CurveSpec, c: int, nbe: int, s_ranks: int,
         running = jnp.maximum(running, d)
         traced_d.append(running)
 
-    acc = (jnp.zeros((nl, total), jnp.uint32), one, one,
-           jnp.zeros((nl, total), jnp.uint32))
+    zero = jnp.zeros((nl, total), jnp.uint32)
+    if init is None:
+        acc = (zero, one, one, zero)
+    else:
+        # chain from the caller's bucket lanes: place them in natural
+        # order (identity in the pad lanes), then apply this call's
+        # occupancy sort
+        def base_plane(p_init, fill):
+            pl = jnp.moveaxis(p_init, -1, 0).reshape(nl, lanes)
+            if pad_lanes:
+                pl = jnp.concatenate([pl, fill[:, lanes:]], axis=1)
+            return pl[:, order]
+        acc = tuple(base_plane(p, fill) for p, fill in
+                    zip((init.x, init.y, init.z, init.t),
+                        (zero, one, one, zero)))
     d_prev = 0
     for p_len, d in zip(prefixes, traced_d):
         addp = make_te_mixed_add_slab(curve, p_len, min(tile, p_len), S,

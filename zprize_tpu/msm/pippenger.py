@@ -650,43 +650,55 @@ def _sorted_table_te(curve: CurveSpec, c: int, g: int, m: int, n: int,
     r_pad = r_rows + (-r_rows) % S + S          # +1 safety strip of zeros
     # `split_ops`: payload operands per lax.sort call — 0 = all 41 in one
     # sort; smaller values re-run the key comparisons per chunk but give
-    # the compiler small sort units.  Chunked sorts need a total order on
-    # ROWS (not just keys) or equal-key rows would be torn apart across
-    # chunks — the iota tiebreaker (num_keys=2) provides it; the key bytes
-    # moved per pass grow by 4B/row against the 160B payload.  STATIC arg,
-    # resolved from ZPRIZE_SORT_OPS by the eager caller
-    # (`_msm_te_sorted_device`) so env changes are never swallowed by the
-    # jit trace cache.
+    # the compiler small sort units.  STATIC arg, resolved from
+    # ZPRIZE_SORT_OPS by the eager caller (`_msm_te_sorted_device`) so env
+    # changes are never swallowed by the jit trace cache.
     tables, starts_g, counts_g = [], [], []
     for gi in range(g):
-        key = jnp.abs(digits[gi]).astype(jnp.uint32)
-        sign = (digits[gi] < 0).astype(jnp.uint32)
-        payload = tuple(packed[:, j] for j in range(3 * h)) + (sign,)
-        if split_ops <= 0 or split_ops >= len(payload):
-            sorted_ops = jax.lax.sort((key,) + payload, num_keys=1,
-                                      is_stable=False)
-            skey = sorted_ops[0]
-            cols = list(sorted_ops[1:])
-        else:
-            iota = jax.lax.iota(jnp.uint32, key.shape[0])
-            skey = None
-            cols = []
-            for j0 in range(0, len(payload), split_ops):
-                chunk = payload[j0:j0 + split_ops]
-                out = jax.lax.sort((key, iota) + chunk, num_keys=2,
-                                   is_stable=False)
-                if skey is None:
-                    skey = out[0]
-                cols.extend(out[2:])
-        cols += [jnp.zeros_like(cols[0])] * (rows_pad - len(cols))
-        table = jnp.stack(cols, axis=1)                  # (R, rows_pad)
-        table = jnp.pad(table, ((0, r_pad - r_rows), (0, 0)))
-        tables.append(table.reshape(r_pad // S, S * rows_pad))
-        bounds = jnp.searchsorted(skey,
-                                  jnp.arange(nbe + 2, dtype=skey.dtype))
-        starts_g.append(bounds[:-1])
-        counts_g.append(bounds[1:] - bounds[:-1])
+        table, starts, counts = _sort_rows_payload(
+            nbe, split_ops, rows_pad, S, digits[gi], packed)
+        tables.append(table)
+        starts_g.append(starts)
+        counts_g.append(counts)
     return (jnp.stack(tables), jnp.stack(starts_g), jnp.stack(counts_g))
+
+
+def _sort_rows_payload(nbe: int, split_ops: int, rows_pad: int, S: int,
+                       digits_w, packed):
+    """One window's physical row sort: |digit| keys carry the full packed
+    row (+ sign) as sort payload -> (strip-reshaped table, starts, counts)
+    over buckets 0..nbe+1.  Chunked sorts (split_ops > 0) need a total
+    order on ROWS (not just keys) or equal-key rows would be torn apart
+    across chunks — the iota tiebreaker (num_keys=2) provides it; the key
+    bytes moved per pass grow by 4B/row against the 160B payload."""
+    h3 = packed.shape[1]
+    key = jnp.abs(digits_w).astype(jnp.uint32)
+    sign = (digits_w < 0).astype(jnp.uint32)
+    payload = tuple(packed[:, j] for j in range(h3)) + (sign,)
+    if split_ops <= 0 or split_ops >= len(payload):
+        sorted_ops = jax.lax.sort((key,) + payload, num_keys=1,
+                                  is_stable=False)
+        skey = sorted_ops[0]
+        cols = list(sorted_ops[1:])
+    else:
+        iota = jax.lax.iota(jnp.uint32, key.shape[0])
+        skey = None
+        cols = []
+        for j0 in range(0, len(payload), split_ops):
+            chunk = payload[j0:j0 + split_ops]
+            out = jax.lax.sort((key, iota) + chunk, num_keys=2,
+                               is_stable=False)
+            if skey is None:
+                skey = out[0]
+            cols.extend(out[2:])
+    r_rows = key.shape[0]
+    r_pad = r_rows + (-r_rows) % S + S          # +1 safety strip of zeros
+    cols += [jnp.zeros_like(cols[0])] * (rows_pad - len(cols))
+    table = jnp.stack(cols, axis=1)                  # (R, rows_pad)
+    table = jnp.pad(table, ((0, r_pad - r_rows), (0, 0)))
+    bounds = jnp.searchsorted(skey, jnp.arange(nbe + 2, dtype=skey.dtype))
+    return (table.reshape(r_pad // S, S * rows_pad),
+            bounds[:-1], bounds[1:] - bounds[:-1])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
@@ -695,11 +707,7 @@ def _sorted_accum_te(curve: CurveSpec, c: int, g: int, interpret: bool,
     """Dispatch 2 of the sorted-table TE MSM: strip-slab accumulate per
     bucket set -> triangle merge -> window combine -> canonical planes."""
     from ..curve import te
-    from . import te_path
-    from .accum_kernel import (SLAB_S, accumulate_te_sorted,
-                               combine_te_pallas, merge_buckets_te_pallas,
-                               merge_te_triangle_pallas)
-    f = curve.field
+    from .accum_kernel import SLAB_S, accumulate_te_sorted
     nbe = 1 << (c - 1)
     group_sums = [accumulate_te_sorted(curve, c, nbe, SLAB_S, interpret,
                                        tables[gi], starts[gi], counts[gi])
@@ -707,15 +715,7 @@ def _sorted_accum_te(curve: CurveSpec, c: int, g: int, interpret: bool,
     sums = te.TePoint(*(jnp.concatenate([getattr(s, fld) for s in group_sums],
                                         axis=0)
                         for fld in ("x", "y", "z", "t")))
-    if te_path.triangle_split(g, nbe) is not None:
-        merged = merge_te_triangle_pallas(curve, c, interpret, sums)
-    elif g * nbe * max(1, nbe.bit_length()) >= 4096:
-        merged = merge_buckets_te_pallas(curve, c, interpret, sums)
-    else:
-        merged = te_path.merge_buckets_te(curve, c, sums)
-    combined = combine_te_pallas(curve, c, interpret, merged)
-    return tuple(fp.to_canonical(f, a) for a in
-                 (combined.x, combined.y, combined.z))
+    return _sorted_merge_combine(curve, c, interpret, sums)
 
 
 def _msm_te_sorted_device(curve: CurveSpec, c: int, g: int, m: int,
@@ -731,6 +731,104 @@ def _msm_te_sorted_device(curve: CurveSpec, c: int, g: int, m: int,
     tables, starts, counts = _sorted_table_te(curve, c, g, m, n, split_ops,
                                               packed, scalars, inf)
     return _sorted_accum_te(curve, c, g, interpret, tables, starts, counts)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _digits_window_dyn(curve: CurveSpec, c: int, scalars, inf, carry,
+                       i0, sh):
+    """ONE window's signed digits with a TRACED window position (limb index
+    `i0`, bit shift `sh` — both scalars): the streamed-sorted MSM walks 16+
+    windows and a static-window variant would compile the digit graph once
+    per window.  Same extraction as `_signed_digits_range` (three-limb
+    read, MSB-negate, sequential carry)."""
+    if scalars.dtype == jnp.uint16:
+        s = scalars
+    else:
+        s = fp.to_canonical(curve.scalar, scalars)
+    pad = [(0, 0)] * (s.ndim - 1) + [(0, 3)]
+    s = jnp.pad(s, pad)
+    tri = jax.lax.dynamic_slice_in_dim(s, i0, 3, axis=-1).astype(jnp.uint32)
+    sh = sh.astype(jnp.uint32)
+    word = tri[..., 0] | (tri[..., 1] << BASE_BITS)
+    word = (word >> sh) | (tri[..., 2] << (2 * BASE_BITS - sh))
+    half = 1 << (c - 1)
+    raw = (word & ((1 << c) - 1)).astype(jnp.int32) + carry
+    over = raw >= half
+    d = jnp.where(over, raw - (1 << c), raw)
+    return jnp.where(inf, 0, d), over.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _sorted_run_te(curve: CurveSpec, c: int, split_ops: int,
+                   packed_run, digits_run):
+    """Streamed dispatch: payload-sort ONE window x ONE row-run of the
+    point table -> (strips, starts, counts) for `accumulate_te_sorted`."""
+    from .accum_kernel import SLAB_S, _slab_rows
+    rows_pad = _slab_rows(curve.field.n_limbs)
+    nbe = 1 << (c - 1)
+    return _sort_rows_payload(nbe, split_ops, rows_pad, SLAB_S,
+                              digits_run, packed_run)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _sorted_merge_combine(curve: CurveSpec, c: int, interpret: bool, sums):
+    """Final dispatch of the streamed-sorted MSM: triangle merge over the
+    stacked (g, nbe) bucket sums + window combine -> canonical planes."""
+    from . import te_path
+    from .accum_kernel import (combine_te_pallas, merge_buckets_te_pallas,
+                               merge_te_triangle_pallas)
+    g, nbe = sums.x.shape[:2]
+    if te_path.triangle_split(g, nbe) is not None:
+        merged = merge_te_triangle_pallas(curve, c, interpret, sums)
+    elif g * nbe * max(1, nbe.bit_length()) >= 4096:
+        merged = merge_buckets_te_pallas(curve, c, interpret, sums)
+    else:
+        merged = te_path.merge_buckets_te(curve, c, sums)
+    combined = combine_te_pallas(curve, c, interpret, merged)
+    f = curve.field
+    return tuple(fp.to_canonical(f, a) for a in
+                 (combined.x, combined.y, combined.z))
+
+
+def _msm_te_sorted_streamed(curve: CurveSpec, prepared: PreparedTe, inf,
+                            scalars, c: int,
+                            interpret: bool = False) -> sw.Point:
+    """Sorted-table MSM for the NO-COLLAPSE scale regime (m == 1, 2^24+):
+    the multi-window digit plane next to per-window sorted table copies
+    would blow HBM, so windows stream one at a time and each window's rows
+    sort in `run`-sized chunks (ZPRIZE_SORT_RUN_LOG, default 2^23 rows) —
+    the bucket accumulator chains across runs via the `init` lanes of
+    `accumulate_te_sorted`, so runs cost no extra add passes.  Peak HBM:
+    packed table + one run's sorted strips + one window's bucket lanes.
+    Same role as the GPU reference's sort pipeline at full scale
+    (`Partition1024.cu`/`SortCounts.cu` feeding `ComputeBucketSums.cu`)."""
+    from ..curve import te
+    from .accum_kernel import SLAB_S, accumulate_te_sorted
+    assert prepared.m == 1, "streamed-sorted path serves the m=1 regime"
+    n = prepared.n
+    n_win = num_windows(curve, c)
+    nbe = 1 << (c - 1)
+    split_ops = int(os.environ.get("ZPRIZE_SORT_OPS", "0"))
+    run = min(n, 1 << int(os.environ.get("ZPRIZE_SORT_RUN_LOG", "23")))
+    carry = jnp.zeros(scalars.shape[:-1], jnp.int32)
+    sums_list = []
+    for w in range(n_win):
+        i0, sh = divmod(w * c, BASE_BITS)
+        d_w, carry = _digits_window_dyn(curve, c, scalars, inf, carry,
+                                        jnp.int32(i0), jnp.int32(sh))
+        part = None
+        for lo in range(0, n, run):
+            hi = min(n, lo + run)
+            tbl, st, ct = _sorted_run_te(curve, c, split_ops,
+                                         prepared.packed[lo:hi], d_w[lo:hi])
+            part = accumulate_te_sorted(curve, c, nbe, SLAB_S, interpret,
+                                        tbl, st, ct, part)
+        sums_list.append(part)
+    sums = te.TePoint(*(jnp.concatenate([getattr(p, fld) for p in sums_list],
+                                        axis=0)
+                        for fld in ("x", "y", "z", "t")))
+    res_can = _sorted_merge_combine(curve, c, interpret, sums)
+    return _te_result_host(curve, res_can)
 
 
 def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
@@ -758,6 +856,8 @@ def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
         cspec = (prepared.g, prepared.m, prepared.n)
         gdict = {full_nbe: list(range(prepared.g))}
     else:
+        if use_pallas and os.environ.get("ZPRIZE_ACCUM", "gather") == "sorted":
+            return _msm_te_sorted_streamed(curve, prepared, inf, scalars, c)
         cspec = None
         gdict = _window_groups(curve, c, n_win, full_nbe)
     stream_gb = float(os.environ.get("ZPRIZE_STREAM_GB", "3"))

@@ -32,7 +32,17 @@ Q = G.Q
 
 @functools.lru_cache(maxsize=None)
 def _stage_tables(log_n: int, inverse: bool):
-    """Position-expanded per-stage twiddles and lo-half masks (numpy)."""
+    """Position-expanded per-stage twiddles, lo-half masks, and SHIFT
+    descriptors (numpy).
+
+    Goldilocks has ord(2) = 192, so every 2^j-th root of unity for j <= 6
+    lies in <2>: the butterfly twiddles of stages with m <= 64 are all
+    powers of two, and their multiply reduces to a variable left shift
+    plus the 2^64/2^96 fold (cosic's root-of-unity observation,
+    `prize2-ntt` hardcaml docs) — no 16-piece schoolbook product.  The
+    shift descriptor packs, per position: bits 0-4 = e mod 32, bits 5-6 =
+    (e mod 96) >> 5, bit 7 = e >= 96 (negate, via 2^96 ≡ -1).  Rows for
+    stages with m > 64 are zero (general-multiply stages)."""
     n = 1 << log_n
     w = primitive_root(GOLDILOCKS, log_n)
     if inverse:
@@ -40,9 +50,11 @@ def _stage_tables(log_n: int, inverse: bool):
     pows = [1] * (n // 2)
     for k in range(1, n // 2):
         pows[k] = pows[k - 1] * w % Q
+    dlog2 = {pow(2, k, Q): k for k in range(192)}
     twlo = np.zeros((log_n, n), np.uint32)
     twhi = np.zeros((log_n, n), np.uint32)
     mask = np.zeros((log_n, n), np.uint32)
+    shift = np.zeros((log_n, n), np.uint32)
     for s in range(1, log_n + 1):
         m = 1 << s
         for i in range(n):
@@ -51,22 +63,60 @@ def _stage_tables(log_n: int, inverse: bool):
             twlo[s - 1, i] = v & 0xFFFFFFFF
             twhi[s - 1, i] = v >> 32
             mask[s - 1, i] = 1 if (i % m) < m // 2 else 0
-    return twlo, twhi, mask
+            if m <= 64:
+                e = dlog2[v]
+                e96 = e % 96
+                shift[s - 1, i] = ((e96 & 31) | ((e96 >> 5) << 5)
+                                   | ((e >= 96) << 7))
+    return twlo, twhi, mask, shift
+
+
+def _gl_mul_pow2(sp, xlo, xhi):
+    """x * 2^e (mod q) from the packed shift descriptor `sp` (see
+    `_stage_tables`): e' = e mod 96 shifts the (lo, hi) pair into three
+    base-2^32 digits placed by q = e' >> 5, folded with 2^64 ≡ 2^32 - 1 /
+    2^96 ≡ -1 / 2^128 ≡ -2^32; bit 7 negates (2^96 ≡ -1).  ~45 VPU ops
+    vs ~70 for the general `gl_mul` — and e = 0 passes through exactly
+    (gl_add/gl_sub with 0 are bit-identity), so twiddle-1 lanes need no
+    special case."""
+    r = sp & 31
+    q1m = (sp & 32) != 0
+    q2m = (sp & 64) != 0
+    neg = (sp & 128) != 0
+    t0 = xlo << r
+    mid = ((xlo >> (31 - r)) >> 1) | (xhi << r)
+    t2 = (xhi >> (31 - r)) >> 1
+    z = jnp.zeros_like(t0)
+    # digits of x * 2^(32q) in base 2^32: d = [t0, mid, t2] shifted by q
+    d0 = jnp.where(q1m | q2m, z, t0)
+    d1 = jnp.where(q1m, t0, jnp.where(q2m, z, mid))
+    d2 = jnp.where(q1m, mid, jnp.where(q2m, t0, t2))
+    d3 = jnp.where(q1m, t2, jnp.where(q2m, mid, z))
+    d4 = jnp.where(q2m, t2, z)
+    lo, hi = G.gl_sub(d0, d1, d2, z)      # - d2        (2^64 fold, part 1)
+    lo, hi = G.gl_add(lo, hi, z, d2)      # + 2^32 d2   (2^64 fold, part 2)
+    lo, hi = G.gl_sub(lo, hi, d3, d4)     # - d3 - 2^32 d4
+    nlo, nhi = G.gl_sub(z, z, lo, hi)
+    return jnp.where(neg, nlo, lo), jnp.where(neg, nhi, hi)
+
+
+def _shift_twiddle_on() -> bool:
+    import os
+    return os.environ.get("ZPRIZE_NTT_SHIFT", "1") != "0"
 
 
 @functools.lru_cache(maxsize=None)
-def _make_ntt_call(log_n: int, n_batch: int, tile: int, interpret: bool):
+def _make_ntt_call(log_n: int, n_batch: int, tile: int, interpret: bool,
+                   use_shift: bool = True):
     n = 1 << log_n
     assert n_batch % tile == 0
 
-    def kernel(twlo_ref, twhi_ref, mask_ref, xlo_ref, xhi_ref,
+    def kernel(twlo_ref, twhi_ref, mask_ref, sh_ref, xlo_ref, xhi_ref,
                olo_ref, ohi_ref):
         xlo = xlo_ref[...]
         xhi = xhi_ref[...]
         for s in range(log_n):
             sh = 1 << s                       # m/2 for stage s+1
-            tl = twlo_ref[s][:, None]
-            th = twhi_ref[s][:, None]
             mk = mask_ref[s][:, None]
             dn_lo = pltpu.roll(xlo, n - sh, axis=0)   # [i] <- x[i + sh]
             dn_hi = pltpu.roll(xhi, n - sh, axis=0)
@@ -76,7 +126,17 @@ def _make_ntt_call(log_n: int, n_batch: int, tile: int, interpret: bool):
             pick_hi = jnp.where(mk != 0, dn_hi, xhi)
             base_lo = jnp.where(mk != 0, xlo, up_lo)
             base_hi = jnp.where(mk != 0, xhi, up_hi)
-            q_lo, q_hi = G.gl_mul(tl, th, pick_lo, pick_hi)
+            if use_shift and s == 0:
+                # stage 1 twiddles are all 1: no multiply at all
+                q_lo, q_hi = pick_lo, pick_hi
+            elif use_shift and s <= 5:
+                # m <= 64: every twiddle is a power of 2 (ord(2) = 192)
+                q_lo, q_hi = _gl_mul_pow2(sh_ref[s][:, None],
+                                          pick_lo, pick_hi)
+            else:
+                tl = twlo_ref[s][:, None]
+                th = twhi_ref[s][:, None]
+                q_lo, q_hi = G.gl_mul(tl, th, pick_lo, pick_hi)
             a_lo, a_hi = G.gl_add(base_lo, base_hi, q_lo, q_hi)
             s_lo, s_hi = G.gl_sub(base_lo, base_hi, q_lo, q_hi)
             xlo = jnp.where(mk != 0, a_lo, s_lo)
@@ -91,7 +151,8 @@ def _make_ntt_call(log_n: int, n_batch: int, tile: int, interpret: bool):
     return pl.pallas_call(
         kernel,
         grid=(n_batch // tile,),
-        in_specs=[tab_spec, tab_spec, tab_spec, data_spec, data_spec],
+        in_specs=[tab_spec, tab_spec, tab_spec, tab_spec, data_spec,
+                  data_spec],
         out_specs=(data_spec, data_spec),
         out_shape=(jax.ShapeDtypeStruct((n, n_batch), jnp.uint32),
                    jax.ShapeDtypeStruct((n, n_batch), jnp.uint32)),
@@ -210,13 +271,15 @@ def _ntt_axis0(log_n: int, xlo, xhi, inverse: bool, tile: int,
         br = jnp.asarray(_bitrev_perm(log_n).astype(np.int32))
         xlo = jnp.take(xlo, br, axis=0)
         xhi = jnp.take(xhi, br, axis=0)
-        twlo, twhi, mask = _stage_tables(log_n, inverse)
+        twlo, twhi, mask, shtab = _stage_tables(log_n, inverse)
         tile = min(tile, n_batch)
         if log_n <= MAX_KERNEL_LOG:
             # small transforms: fully-unrolled single grid step
-            call = _make_ntt_call(log_n, n_batch, tile, interpret)
-        else:
-            call = _make_ntt_grid_call(log_n, n_batch, tile, interpret)
+            call = _make_ntt_call(log_n, n_batch, tile, interpret,
+                                  _shift_twiddle_on())
+            return call(jnp.asarray(twlo), jnp.asarray(twhi),
+                        jnp.asarray(mask), jnp.asarray(shtab), xlo, xhi)
+        call = _make_ntt_grid_call(log_n, n_batch, tile, interpret)
         return call(jnp.asarray(twlo), jnp.asarray(twhi), jnp.asarray(mask),
                     xlo, xhi)
     # recursive four-step split along the position axis
