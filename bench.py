@@ -109,6 +109,74 @@ def bench_ntt():
                       "vs_baseline": 2.47 / dt}))
 
 
+def bench_ntt_dist():
+    """Distributed-NTT metric: the all_to_all four-step over an 8-device
+    mesh (`parallel/ntt_sharded.py`), dryrun-scale on VIRTUAL CPU devices
+    (one physical TPU chip in this environment — the mesh path is the
+    same SPMD program that would ride ICI on a pod slice).  Baseline
+    context: hardcaml's 8->64-core scaling table
+    (`zprize_ntt_top.mld:142-149`, 231.5 ms at 8 cores)."""
+    n_dev = int(os.environ.get("BENCH_NTT_DEVS", "8"))
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count={n_dev}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import random
+
+    import jax.numpy as jnp
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from zprize_tpu.field import fp
+    from zprize_tpu.field.spec import GOLDILOCKS
+    from zprize_tpu.ntt.fourstep import ntt_fourstep
+    from zprize_tpu.parallel.mesh import make_mesh
+    from zprize_tpu.parallel.ntt_sharded import (flatten_output,
+                                                 ntt_fourstep_sharded)
+
+    logn = int(os.environ.get("BENCH_NTT_LOGN", "24"))
+    l1, l2 = logn // 2, logn - logn // 2
+    n1, n2 = 1 << l1, 1 << l2
+    rng = random.Random(0)
+    sample = [rng.randrange(GOLDILOCKS.p) for _ in range(4096)]
+    a = jnp.tile(fp.from_ints(GOLDILOCKS, sample), ((n1 * n2) // 4096, 1))
+    mesh = make_mesh(n_dev)
+    m = a.reshape(n1, n2, -1)
+    log(f"ntt_dist: 2^{logn} goldilocks over {n_dev}-dev CPU mesh "
+        f"({l1}+{l2} four-step, all_to_all transpose)")
+
+    t0 = time.time()
+    out = ntt_fourstep_sharded(GOLDILOCKS, m, mesh, l1, l2)
+    jax.block_until_ready(out)
+    log(f"first run (incl. compile): {time.time()-t0:.1f}s")
+
+    ref = ntt_fourstep(GOLDILOCKS, a, l1, l2)
+    got = flatten_output(out)
+    ok = bool(jax.device_get(jnp.all(
+        fp.to_canonical(GOLDILOCKS, got)
+        == fp.to_canonical(GOLDILOCKS, ref))))
+    if not ok:
+        log("DISTRIBUTED NTT MISMATCH — benchmark invalid")
+        print(json.dumps({"metric": f"goldilocks_ntt_dist_2^{logn}_ms",
+                          "value": 0.0, "unit": "ms", "vs_baseline": 0.0,
+                          "error": "mismatch"}))
+        return
+    log("all outputs verified vs the single-device four-step")
+
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = ntt_fourstep_sharded(GOLDILOCKS, m, mesh, l1, l2)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    dt = min(times) * 1e3
+    log(f"steady-state: {dt:.1f} ms per distributed NTT "
+        f"(min of {iters}; virtual CPU mesh — collective-path timing, "
+        f"not TPU kernel timing)")
+    print(json.dumps({"metric": f"goldilocks_ntt_dist_2^{logn}_ms",
+                      "value": dt, "unit": "ms",
+                      "vs_baseline": 231.5 / dt}))
+
+
 def bench_plonk():
     """Tertiary metric: PLONK prover ns/constraint on the reference's
     Merkle-membership workload (`winderica/distributed/src/circuit.rs:676-703`
@@ -246,6 +314,9 @@ def main():
     metric = os.environ.get("BENCH_METRIC", "msm")
     if metric == "ntt":
         bench_ntt()
+        return
+    if metric == "ntt_dist":
+        bench_ntt_dist()
         return
     if metric == "plonk":
         bench_plonk()

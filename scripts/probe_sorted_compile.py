@@ -47,7 +47,7 @@ def main():
                 jax.ShapeDtypeStruct((n, CURVE.scalar.n_limbs), jnp.uint32),
                 jax.ShapeDtypeStruct((n,), jnp.bool_))
         t0 = time.time()
-        split_ops = int(os.environ.get("ZPRIZE_SORT_OPS", "0"))
+        split_ops = pippenger._sort_build_mode()
         lowered = pippenger._sorted_table_te.lower(CURVE, c, g, m, n,
                                                    split_ops, *args)
         t1 = time.time()

@@ -87,6 +87,28 @@ def test_sorted_table_chunked_sort_matches_oracle(fixture_points):
     assert got == exp
 
 
+def test_sorted_gather_build_matches_oracle(fixture_points):
+    """ZPRIZE_SORT_BUILD=gather (split_ops == -1): 2-operand key sort +
+    one row gather builds the same bucket-major table — compile-pathology
+    escape hatch for the payload sort; oracle differential."""
+    aff, s, exp = fixture_points
+    c, g = 8, 2
+    w = pippenger.num_windows(CURVE, c)
+    m = -(-w // g)
+    packed, bad = te_path.prepare_points_collapsed(CURVE, aff.x, aff.y,
+                                                   aff.inf, c * g, m)
+    assert not bool(bad)
+    tables, starts, counts = pippenger._sorted_table_te(
+        CURVE, c, g, m, N, -1, packed, s, aff.inf)
+    res_can = pippenger._sorted_accum_te(CURVE, c, g, True, tables, starts,
+                                         counts)
+    res = pippenger._te_result_host(CURVE, res_can)
+    a = sw.to_affine(CURVE, res)
+    got = (int(fp.to_ints(CURVE.field, a.x)[()]),
+           int(fp.to_ints(CURVE.field, a.y)[()]))
+    assert got == exp
+
+
 def test_sorted_streamed_matches_oracle(fixture_points):
     """Streamed-sorted path (m=1 scale regime: per-window dynamic digits,
     row-run payload sorts, run chaining via the accumulator `init` lanes)

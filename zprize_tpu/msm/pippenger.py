@@ -670,27 +670,39 @@ def _sort_rows_payload(nbe: int, split_ops: int, rows_pad: int, S: int,
     over buckets 0..nbe+1.  Chunked sorts (split_ops > 0) need a total
     order on ROWS (not just keys) or equal-key rows would be torn apart
     across chunks — the iota tiebreaker (num_keys=2) provides it; the key
-    bytes moved per pass grow by 4B/row against the 160B payload."""
+    bytes moved per pass grow by 4B/row against the 160B payload.
+    `split_ops == -1` (ZPRIZE_SORT_BUILD=gather) builds the table with a
+    2-operand key+index sort plus ONE random row gather instead — ~2.5x
+    the movement cost of the payload sort (74 vs 29 ns/row) but a
+    trivially-compilable program; the slab reads downstream stay
+    contiguous either way."""
     h3 = packed.shape[1]
     key = jnp.abs(digits_w).astype(jnp.uint32)
     sign = (digits_w < 0).astype(jnp.uint32)
-    payload = tuple(packed[:, j] for j in range(h3)) + (sign,)
-    if split_ops <= 0 or split_ops >= len(payload):
-        sorted_ops = jax.lax.sort((key,) + payload, num_keys=1,
-                                  is_stable=False)
-        skey = sorted_ops[0]
-        cols = list(sorted_ops[1:])
-    else:
+    if split_ops == -1:
         iota = jax.lax.iota(jnp.uint32, key.shape[0])
-        skey = None
-        cols = []
-        for j0 in range(0, len(payload), split_ops):
-            chunk = payload[j0:j0 + split_ops]
-            out = jax.lax.sort((key, iota) + chunk, num_keys=2,
-                               is_stable=False)
-            if skey is None:
-                skey = out[0]
-            cols.extend(out[2:])
+        skey, perm = jax.lax.sort((key, iota), num_keys=1, is_stable=False)
+        pi = perm.astype(jnp.int32)
+        rows = jnp.take(packed, pi, axis=0)              # (R, 3h)
+        cols = [rows[:, j] for j in range(h3)] + [jnp.take(sign, pi)]
+    else:
+        payload = tuple(packed[:, j] for j in range(h3)) + (sign,)
+        if split_ops <= 0 or split_ops >= len(payload):
+            sorted_ops = jax.lax.sort((key,) + payload, num_keys=1,
+                                      is_stable=False)
+            skey = sorted_ops[0]
+            cols = list(sorted_ops[1:])
+        else:
+            iota = jax.lax.iota(jnp.uint32, key.shape[0])
+            skey = None
+            cols = []
+            for j0 in range(0, len(payload), split_ops):
+                chunk = payload[j0:j0 + split_ops]
+                out = jax.lax.sort((key, iota) + chunk, num_keys=2,
+                                   is_stable=False)
+                if skey is None:
+                    skey = out[0]
+                cols.extend(out[2:])
     r_rows = key.shape[0]
     r_pad = r_rows + (-r_rows) % S + S          # +1 safety strip of zeros
     cols += [jnp.zeros_like(cols[0])] * (rows_pad - len(cols))
@@ -727,10 +739,19 @@ def _msm_te_sorted_device(curve: CurveSpec, c: int, g: int, m: int,
     single fully-fused program hit a pathological remote compile (>35 min
     at 2^18 c=17) while the halves compile in normal time; the extra
     dispatch costs one ~24 ms tunnel round trip."""
-    split_ops = int(os.environ.get("ZPRIZE_SORT_OPS", "0"))
+    split_ops = _sort_build_mode()
     tables, starts, counts = _sorted_table_te(curve, c, g, m, n, split_ops,
                                               packed, scalars, inf)
     return _sorted_accum_te(curve, c, g, interpret, tables, starts, counts)
+
+
+def _sort_build_mode() -> int:
+    """Static sorted-table build mode for the eager callers: -1 = gather
+    build (ZPRIZE_SORT_BUILD=gather), else ZPRIZE_SORT_OPS chunked/full
+    payload sort (see `_sort_rows_payload`)."""
+    if os.environ.get("ZPRIZE_SORT_BUILD") == "gather":
+        return -1
+    return int(os.environ.get("ZPRIZE_SORT_OPS", "0"))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -808,7 +829,7 @@ def _msm_te_sorted_streamed(curve: CurveSpec, prepared: PreparedTe, inf,
     n = prepared.n
     n_win = num_windows(curve, c)
     nbe = 1 << (c - 1)
-    split_ops = int(os.environ.get("ZPRIZE_SORT_OPS", "0"))
+    split_ops = _sort_build_mode()
     run = min(n, 1 << int(os.environ.get("ZPRIZE_SORT_RUN_LOG", "23")))
     carry = jnp.zeros(scalars.shape[:-1], jnp.int32)
     sums_list = []
@@ -879,15 +900,35 @@ def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
     return _te_result_host(curve, res_can)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def _digits_chunk_te(curve: CurveSpec, c: int, w0: int, w1: int, nbe: int,
-                     scalars, inf, carry):
-    """Streamed dispatch 1: digits + grouping for windows [w0, w1)."""
-    digits, carry_out = _signed_digits_range(curve, c, w0, w1, scalars,
-                                             carry)
-    digits = jnp.where(inf[None, :], 0, digits)
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _digits_chunk_dyn(curve: CurveSpec, c: int, n_chunk: int, nbe: int,
+                      scalars, inf, carry, i0s, shs):
+    """Streamed dispatch 1 with TRACED window positions (`i0s`/`shs`:
+    (n_chunk,) limb index / bit shift per window): the static-window form
+    compiles once per chunk — 16 separate digit+sort compiles at 2^26,
+    each a multi-minute remote XLA:TPU build.  One traced-position program
+    serves every chunk of the same width."""
+    if scalars.dtype == jnp.uint16:
+        s = scalars
+    else:
+        s = fp.to_canonical(curve.scalar, scalars)
+    pad = [(0, 0)] * (s.ndim - 1) + [(0, 3)]
+    s = jnp.pad(s, pad)
+    half = 1 << (c - 1)
+    digits = []
+    for k in range(n_chunk):
+        tri = jax.lax.dynamic_slice_in_dim(s, i0s[k], 3,
+                                           axis=-1).astype(jnp.uint32)
+        sh = shs[k].astype(jnp.uint32)
+        word = tri[..., 0] | (tri[..., 1] << BASE_BITS)
+        word = (word >> sh) | (tri[..., 2] << (2 * BASE_BITS - sh))
+        raw = (word & ((1 << c) - 1)).astype(jnp.int32) + carry
+        over = raw >= half
+        digits.append(jnp.where(over, raw - (1 << c), raw))
+        carry = over.astype(jnp.int32)
+    digits = jnp.where(inf[None, :], 0, jnp.stack(digits))
     perm, starts, counts, _ = bucket_counts_all(c, digits)
-    return digits, perm, starts, counts, carry_out
+    return digits, perm, starts, counts, carry
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
@@ -956,8 +997,11 @@ def _msm_te_streamed(curve: CurveSpec, prepared: PreparedTe, inf, scalars,
         assert list(ws) == list(range(min(ws), max(ws) + 1)), ws
         for lo in range(min(ws), max(ws) + 1, wchunk):
             hi = min(max(ws) + 1, lo + wchunk)
-            digits, perm, starts, counts, carry = _digits_chunk_te(
-                curve, c, lo, hi, nbe, scalars, inf, carry)
+            pos = [divmod(w * c, BASE_BITS) for w in range(lo, hi)]
+            digits, perm, starts, counts, carry = _digits_chunk_dyn(
+                curve, c, hi - lo, nbe, scalars, inf, carry,
+                jnp.asarray([p[0] for p in pos], jnp.int32),
+                jnp.asarray([p[1] for p in pos], jnp.int32))
             merged = _accum_merge_chunk_te(curve, c, nbe, "traced",
                                            use_pallas, prepared.packed,
                                            digits, perm, starts, counts)

@@ -22,6 +22,28 @@ from ..curve.spec import CurveSpec
 from ..msm.pippenger import msm_jit_static
 
 
+@functools.lru_cache(maxsize=None)
+def _msm_sharded_prog(curve: CurveSpec, mesh: Mesh, axis: str, c: int,
+                      cap_total: int):
+    """Cached jitted shard_map program (rebuilding jit(shard_map(...)) per
+    call would retrace/re-lower on every invocation)."""
+    def local(px, py, pinf, s):
+        res = msm_jit_static(curve, sw.Affine(px, py, pinf), s, c, cap_total)
+        gx = jax.lax.all_gather(res.x, axis)      # (D, L)
+        gy = jax.lax.all_gather(res.y, axis)
+        gz = jax.lax.all_gather(res.z, axis)
+        return sw.sum_points(curve, sw.Point(gx, gy, gz), axis=0)
+
+    # jit the shard_map: un-jitted shard_map executes its body EAGERLY per
+    # device (measured 270 s / ~5000 op-by-op compiles for a toy MSM on an
+    # 8-device CPU mesh vs seconds compiled)
+    return jax.jit(jax.shard_map(local, mesh=mesh,
+                                 in_specs=(P(axis), P(axis), P(axis),
+                                           P(axis)),
+                                 out_specs=P(),
+                                 check_vma=False))
+
+
 def msm_sharded(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
                 mesh: Mesh, c: int = 10, cap_total: int | None = None,
                 axis: str = "shard") -> sw.Point:
@@ -35,19 +57,5 @@ def msm_sharded(curve: CurveSpec, points: sw.Affine, scalars: jax.Array,
     n_local = n // n_dev
     if cap_total is None:
         cap_total = n_local
-
-    def local(px, py, pinf, s):
-        res = msm_jit_static(curve, sw.Affine(px, py, pinf), s, c, cap_total)
-        gx = jax.lax.all_gather(res.x, axis)      # (D, L)
-        gy = jax.lax.all_gather(res.y, axis)
-        gz = jax.lax.all_gather(res.z, axis)
-        return sw.sum_points(curve, sw.Point(gx, gy, gz), axis=0)
-
-    # jit the shard_map: un-jitted shard_map executes its body EAGERLY per
-    # device (measured 270 s / ~5000 op-by-op compiles for a toy MSM on an
-    # 8-device CPU mesh vs seconds compiled)
-    fn = jax.jit(jax.shard_map(local, mesh=mesh,
-                               in_specs=(P(axis), P(axis), P(axis), P(axis)),
-                               out_specs=P(),
-                               check_vma=False))
+    fn = _msm_sharded_prog(curve, mesh, axis, c, cap_total)
     return sw.Point(*fn(points.x, points.y, points.inf, scalars))

@@ -28,17 +28,14 @@ from ..ntt.fourstep import twiddle_matrix
 from ..ntt.radix2 import ntt
 
 
-def ntt_fourstep_sharded(spec: FieldSpec, a_matrix: jax.Array, mesh: Mesh,
-                         log_n1: int, log_n2: int, axis: str = "shard"
-                         ) -> jax.Array:
-    """a_matrix: (n1, n2, L) with columns (axis 1) sharded over `axis`.
-    Returns C (n1, n2, L) with rows (axis 0) sharded."""
-    n1, n2 = 1 << log_n1, 1 << log_n2
-    n_dev = mesh.devices.size
-    assert a_matrix.shape[:2] == (n1, n2)
-    assert n1 % n_dev == 0 and n2 % n_dev == 0
+@functools.lru_cache(maxsize=None)
+def _make_fourstep_sharded(spec: FieldSpec, mesh: Mesh, log_n1: int,
+                           log_n2: int, axis: str):
+    """Cached jitted shard_map program: rebuilding `jax.jit(shard_map(...))`
+    per call defeats the jit trace cache (a fresh function object each time
+    recompiled every invocation — measured 3.5 s/call at 2^12 on the CPU
+    mesh vs ~ms once cached)."""
     d1, d2 = Domain(spec, log_n1), Domain(spec, log_n2)
-    tw = twiddle_matrix(spec, log_n1, log_n2)  # (n1, n2, L)
 
     def local(m_local, tw_local):
         # pass 1: column NTTs over the full axis 0 (local: columns sharded)
@@ -51,10 +48,23 @@ def ntt_fourstep_sharded(spec: FieldSpec, a_matrix: jax.Array, mesh: Mesh,
         return ntt(d2, m_local, axis=1)
 
     # jit the shard_map (un-jitted shard_map runs eagerly per device)
-    fn = jax.jit(jax.shard_map(local, mesh=mesh,
-                               in_specs=(P(None, axis), P(None, axis)),
-                               out_specs=P(axis, None),
-                               check_vma=False))
+    return jax.jit(jax.shard_map(local, mesh=mesh,
+                                 in_specs=(P(None, axis), P(None, axis)),
+                                 out_specs=P(axis, None),
+                                 check_vma=False))
+
+
+def ntt_fourstep_sharded(spec: FieldSpec, a_matrix: jax.Array, mesh: Mesh,
+                         log_n1: int, log_n2: int, axis: str = "shard"
+                         ) -> jax.Array:
+    """a_matrix: (n1, n2, L) with columns (axis 1) sharded over `axis`.
+    Returns C (n1, n2, L) with rows (axis 0) sharded."""
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    n_dev = mesh.devices.size
+    assert a_matrix.shape[:2] == (n1, n2)
+    assert n1 % n_dev == 0 and n2 % n_dev == 0
+    tw = twiddle_matrix(spec, log_n1, log_n2)  # (n1, n2, L)
+    fn = _make_fourstep_sharded(spec, mesh, log_n1, log_n2, axis)
     return fn(a_matrix, tw)
 
 

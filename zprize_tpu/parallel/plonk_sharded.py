@@ -58,7 +58,12 @@ from .msm_sharded import msm_sharded
 def _smap(local, mesh, in_specs, out_specs):
     """jit(shard_map(...)): un-jitted shard_map executes its body eagerly
     op-by-op per device — catastrophic on a CPU test mesh.  Inside an outer
-    jit the extra jit is inlined for free."""
+    jit the extra jit is inlined for free.
+
+    CALLERS MUST CACHE the returned program (each call builds a fresh
+    function object whose jit trace cache starts empty — rebuilding per
+    invocation retraces and re-lowers every time; the dist_* helpers below
+    all construct theirs through lru_cached factories)."""
     return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                                  out_specs=out_specs, check_vma=False))
 
@@ -73,6 +78,32 @@ def _tree_fold(spec: FieldSpec, x: jax.Array, op):
             merged = jnp.concatenate([merged, x[m - 1:m]], axis=0)
         x, m = merged, half + (m % 2)
     return x[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _dist_ntt_prog(spec: FieldSpec, mesh: Mesh, axis: str, log_n: int,
+                   inverse: bool):
+    l1 = log_n // 2
+    l2 = log_n - l1
+    d1, d2 = Domain(spec, l1), Domain(spec, l2)
+    tfm = intt if inverse else ntt
+
+    def local(m_loc, tw_loc):
+        # (n1/D, n2, L) row-sharded on j1 -> column-sharded on j2
+        m_loc = jax.lax.all_to_all(m_loc, axis, split_axis=1, concat_axis=0,
+                                   tiled=True)                # (n1, n2/D, L)
+        m_loc = tfm(d1, m_loc, axis=0)                        # column NTTs
+        m_loc = fp.mul(spec, m_loc, tw_loc)                   # W^(k1*j2)
+        m_loc = jax.lax.all_to_all(m_loc, axis, split_axis=0, concat_axis=1,
+                                   tiled=True)                # (n1/D, n2, L)
+        m_loc = tfm(d2, m_loc, axis=1)                        # row NTTs
+        # C[k1, k2] -> natural A[k1 + n1*k2]: k2-sharded, k2-major local
+        m_loc = jax.lax.all_to_all(m_loc, axis, split_axis=1, concat_axis=0,
+                                   tiled=True)                # (n1, n2/D, L)
+        return m_loc.transpose(1, 0, 2).reshape(-1, m_loc.shape[-1])
+
+    return _smap(local, mesh, (P(axis, None, None), P(None, axis, None)),
+                 P(axis, None))
 
 
 def dist_ntt(spec: FieldSpec, a: jax.Array, mesh: Mesh, inverse: bool = False,
@@ -91,36 +122,14 @@ def dist_ntt(spec: FieldSpec, a: jax.Array, mesh: Mesh, inverse: bool = False,
     n1, n2 = 1 << l1, 1 << l2
     n_dev = mesh.devices.size
     assert n1 % n_dev == 0 and n2 % n_dev == 0, (n1, n2, n_dev)
-    d1, d2 = Domain(spec, l1), Domain(spec, l2)
     tw = twiddle_matrix(spec, l1, l2, inverse)
-    tfm = intt if inverse else ntt
-
-    def local(m_loc, tw_loc):
-        # (n1/D, n2, L) row-sharded on j1 -> column-sharded on j2
-        m_loc = jax.lax.all_to_all(m_loc, axis, split_axis=1, concat_axis=0,
-                                   tiled=True)                # (n1, n2/D, L)
-        m_loc = tfm(d1, m_loc, axis=0)                        # column NTTs
-        m_loc = fp.mul(spec, m_loc, tw_loc)                   # W^(k1*j2)
-        m_loc = jax.lax.all_to_all(m_loc, axis, split_axis=0, concat_axis=1,
-                                   tiled=True)                # (n1/D, n2, L)
-        m_loc = tfm(d2, m_loc, axis=1)                        # row NTTs
-        # C[k1, k2] -> natural A[k1 + n1*k2]: k2-sharded, k2-major local
-        m_loc = jax.lax.all_to_all(m_loc, axis, split_axis=1, concat_axis=0,
-                                   tiled=True)                # (n1, n2/D, L)
-        return m_loc.transpose(1, 0, 2).reshape(-1, m_loc.shape[-1])
-
-    fn = _smap(local, mesh, (P(axis, None, None), P(None, axis, None)),
-               P(axis, None))
+    fn = _dist_ntt_prog(spec, mesh, axis, log_n, inverse)
     return fn(a.reshape(n1, n2, -1), tw)
 
 
-def dist_powers(spec: FieldSpec, z: jax.Array, n: int, mesh: Mesh,
-                axis: str = "shard") -> jax.Array:
-    """[1, z, ..., z^(n-1)] as a row-sharded (n, L) plane: local log-doubling
-    ladders offset by an exclusive all-prefix-product of z^(n/D)."""
+@functools.lru_cache(maxsize=None)
+def _dist_powers_prog(spec: FieldSpec, mesh: Mesh, axis: str, nloc: int):
     n_dev = mesh.devices.size
-    assert n % n_dev == 0
-    nloc = n // n_dev
 
     def local(zz):
         pw = poly_ops.powers(spec, zz, nloc)
@@ -132,15 +141,20 @@ def dist_powers(spec: FieldSpec, z: jax.Array, n: int, mesh: Mesh,
         off = _tree_fold(spec, masked, fp.mul)
         return fp.mul(spec, pw, off)
 
-    fn = _smap(local, mesh, (P(),), P(axis, None))
-    return fn(z)
+    return _smap(local, mesh, (P(),), P(axis, None))
 
 
-def dist_cumprod_exclusive(spec: FieldSpec, ratio: jax.Array, mesh: Mesh,
-                           axis: str = "shard") -> jax.Array:
-    """Exclusive running product of a row-sharded (n, L) plane: the
-    collective Z-polynomial merge (local scan + block-total exchange +
-    ppermute shift)."""
+def dist_powers(spec: FieldSpec, z: jax.Array, n: int, mesh: Mesh,
+                axis: str = "shard") -> jax.Array:
+    """[1, z, ..., z^(n-1)] as a row-sharded (n, L) plane: local log-doubling
+    ladders offset by an exclusive all-prefix-product of z^(n/D)."""
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0
+    return _dist_powers_prog(spec, mesh, axis, n // n_dev)(z)
+
+
+@functools.lru_cache(maxsize=None)
+def _dist_cumprod_prog(spec: FieldSpec, mesh: Mesh, axis: str):
     n_dev = mesh.devices.size
 
     def local(r_loc):
@@ -159,43 +173,51 @@ def dist_cumprod_exclusive(spec: FieldSpec, ratio: jax.Array, mesh: Mesh,
         prev = jnp.where(d == 0, fp.ones(spec, ()), prev)
         return jnp.concatenate([prev[None], inc_g[:-1]], axis=0)
 
-    fn = _smap(local, mesh, (P(axis, None),), P(axis, None))
-    return fn(ratio)
+    return _smap(local, mesh, (P(axis, None),), P(axis, None))
+
+
+def dist_cumprod_exclusive(spec: FieldSpec, ratio: jax.Array, mesh: Mesh,
+                           axis: str = "shard") -> jax.Array:
+    """Exclusive running product of a row-sharded (n, L) plane: the
+    collective Z-polynomial merge (local scan + block-total exchange +
+    ppermute shift)."""
+    return _dist_cumprod_prog(spec, mesh, axis)(ratio)
+
+
+@functools.lru_cache(maxsize=None)
+def _dist_batch_inv_prog(spec: FieldSpec, mesh: Mesh, axis: str):
+    return _smap(lambda x: fp.batch_inv(spec, x), mesh,
+                 (P(axis, None),), P(axis, None))
 
 
 def dist_batch_inv(spec: FieldSpec, a: jax.Array, mesh: Mesh,
                    axis: str = "shard") -> jax.Array:
     """Shard-local Montgomery batch inversion (one Fermat ladder per
     device, in parallel)."""
-    fn = _smap(lambda x: fp.batch_inv(spec, x), mesh,
-               (P(axis, None),), P(axis, None))
-    return fn(a)
+    return _dist_batch_inv_prog(spec, mesh, axis)(a)
 
 
-def dist_eval_stack(spec: FieldSpec, polys: jax.Array, pows: jax.Array,
-                    mesh: Mesh, axis: str = "shard") -> jax.Array:
-    """Evaluate K stacked polynomials (K, n, L) at the point whose power
-    plane is `pows` (n, L): local dot + tree-sum, all-gathered partials."""
+@functools.lru_cache(maxsize=None)
+def _dist_eval_stack_prog(spec: FieldSpec, mesh: Mesh, axis: str):
     def local(p_loc, pw_loc):
         terms = fp.mul(spec, p_loc, pw_loc[None])
         part = _tree_fold(spec, jnp.moveaxis(terms, 1, 0), fp.add)  # (K, L)
         alls = jax.lax.all_gather(part, axis)                 # (D, K, L)
         return _tree_fold(spec, alls, fp.add)
 
-    fn = _smap(local, mesh, (P(None, axis, None), P(axis, None)), P())
-    return fn(polys, pows)
+    return _smap(local, mesh, (P(None, axis, None), P(axis, None)), P())
 
 
-def dist_divide_linear(spec: FieldSpec, a: jax.Array, z: jax.Array,
-                       zpows: jax.Array, mesh: Mesh, axis: str = "shard"
-                       ) -> jax.Array:
-    """Quotient of a(X) / (X - z) for a row-sharded coefficient plane,
-    via the suffix-sum identity q_j = z^(-j-1) * sum_{k>j} a_k z^k
-    (exact in the field; z != 0 w.o.p. for transcript challenges).
-    The suffix sum is a reversed sharded scan — the same collective
-    pattern as the Z product."""
+def dist_eval_stack(spec: FieldSpec, polys: jax.Array, pows: jax.Array,
+                    mesh: Mesh, axis: str = "shard") -> jax.Array:
+    """Evaluate K stacked polynomials (K, n, L) at the point whose power
+    plane is `pows` (n, L): local dot + tree-sum, all-gathered partials."""
+    return _dist_eval_stack_prog(spec, mesh, axis)(polys, pows)
+
+
+@functools.lru_cache(maxsize=None)
+def _dist_suffix_sum_prog(spec: FieldSpec, mesh: Mesh, axis: str):
     n_dev = mesh.devices.size
-    t = fp.mul(spec, a, zpows)
 
     def local(t_loc):
         inc = jax.lax.associative_scan(
@@ -209,7 +231,19 @@ def dist_divide_linear(spec: FieldSpec, a: jax.Array, z: jax.Array,
         inc_g = fp.add(spec, inc, suf)                        # incl. suffix
         return fp.sub(spec, inc_g, t_loc)                     # excl. suffix
 
-    s_exc = _smap(local, mesh, (P(axis, None),), P(axis, None))(t)
+    return _smap(local, mesh, (P(axis, None),), P(axis, None))
+
+
+def dist_divide_linear(spec: FieldSpec, a: jax.Array, z: jax.Array,
+                       zpows: jax.Array, mesh: Mesh, axis: str = "shard"
+                       ) -> jax.Array:
+    """Quotient of a(X) / (X - z) for a row-sharded coefficient plane,
+    via the suffix-sum identity q_j = z^(-j-1) * sum_{k>j} a_k z^k
+    (exact in the field; z != 0 w.o.p. for transcript challenges).
+    The suffix sum is a reversed sharded scan — the same collective
+    pattern as the Z product."""
+    t = fp.mul(spec, a, zpows)
+    s_exc = _dist_suffix_sum_prog(spec, mesh, axis)(t)
     zinv = fp.inv(spec, z)
     zinv_pows = dist_powers(spec, zinv, a.shape[0], mesh, axis)
     return fp.mul(spec, fp.mul(spec, s_exc, zinv_pows), zinv)
