@@ -366,12 +366,6 @@ def main():
     pinf = jnp.zeros((n,), bool)
     points = sw.Affine(px, py, pinf)
 
-    scalars_int = [rng.randrange(curve.order) for _ in range(n)]
-    # compact canonical scalar planes (uint16): half the HBM, accepted
-    # directly by the digit extraction (part of the 2^26 memory plan)
-    s = fp.compact_scalars(curve.scalar,
-                           fp.from_ints(curve.scalar, scalars_int))
-
     c = int(c_env) if c_env else None
 
     def sync(x):
@@ -400,6 +394,17 @@ def main():
             c = pippenger.default_window_bits(n)
     log(f"point preprocessing (untimed init): {time.time()-t0:.1f}s")
     log(f"msm: n=2^{npow} c={c}")
+
+    # scalars AFTER the table build: device-resident scalar planes during
+    # `prepare_points` pushed the 2^26 run over HBM (table 10.5 GB + block
+    # conversion temps + 2.25 GB scalars -> ResourceExhausted)
+    t0 = time.time()
+    scalars_int = [rng.randrange(curve.order) for _ in range(n)]
+    # compact canonical scalar planes (uint16): half the HBM, accepted
+    # directly by the digit extraction (part of the 2^26 memory plan)
+    s = fp.compact_scalars(curve.scalar,
+                           fp.from_ints(curve.scalar, scalars_int))
+    log(f"scalar batch 0 built: {time.time()-t0:.1f}s")
 
     # warmup/compile
     t0 = time.time()

@@ -120,3 +120,43 @@ def test_convolution_theorem_fr():
         for j in range(n // 2):
             expect[(i + j) % n] = (expect[(i + j) % n] + a_i[i] * b_i[j]) % spec.p
     assert [int(v) for v in prod] == expect
+
+
+def test_big_split_routing_matches_core(monkeypatch):
+    """`radix2._ntt_big` (the four-step route for sizes above the Pallas
+    kernel's VMEM cap) must be output-identical to the direct stage loop.
+    The kernel itself is mocked unsupported so the sub-transforms run the
+    generic core — this validates the split/twiddle/permutation math the
+    TPU path relies on (the kernel is differentially tested separately)."""
+    import jax
+
+    from zprize_tpu.ntt import fr_kernel, radix2
+    from zprize_tpu.ntt.fourstep import twiddle_matrix
+
+    spec = BLS12_377_FR
+    log_n = 9
+    monkeypatch.setattr(fr_kernel, "enabled", lambda: True)
+    monkeypatch.setattr(fr_kernel, "supported", lambda s, ln: False)
+    monkeypatch.setattr(fr_kernel, "MAX_LOG", 4)
+    monkeypatch.setattr(fr_kernel, "MIN_LOG", 2)
+    # split resources must exist eagerly (ntt() is jitted)
+    l1, l2 = log_n // 2, log_n - log_n // 2
+    Domain(spec, l1), Domain(spec, l2)
+    twiddle_matrix(spec, l1, l2, False)
+    twiddle_matrix(spec, l1, l2, True)
+    jax.clear_caches()
+    try:
+        dom = Domain(spec, log_n)
+        rng = random.Random(11)
+        vals = [rng.randrange(spec.p) for _ in range(2 * dom.n)]
+        a = fp.from_ints(spec, vals).reshape(2, dom.n, -1)
+        assert radix2._big_split(dom) == (l1, l2)
+        got = ntt(dom, a)
+        ref = radix2._ntt_core(dom, a, dom.pows)
+        assert (np.asarray(fp.to_canonical(spec, got))
+                == np.asarray(fp.to_canonical(spec, ref))).all()
+        goti = intt(dom, got)
+        assert (np.asarray(fp.to_canonical(spec, goti))
+                == np.asarray(fp.to_canonical(spec, a))).all()
+    finally:
+        jax.clear_caches()

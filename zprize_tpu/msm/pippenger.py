@@ -844,6 +844,9 @@ def _msm_te_sorted_streamed(curve: CurveSpec, prepared: PreparedTe, inf,
                                          prepared.packed[lo:hi], d_w[lo:hi])
             part = accumulate_te_sorted(curve, c, nbe, SLAB_S, interpret,
                                         tbl, st, ct, part)
+        # bound the in-flight dispatch window (one sorted table copy +
+        # sort temps per run; see the matching sync in _msm_te_streamed)
+        jax.device_get(part.x.ravel()[0])
         sums_list.append(part)
     sums = te.TePoint(*(jnp.concatenate([getattr(p, fld) for p in sums_list],
                                         axis=0)
@@ -1005,6 +1008,11 @@ def _msm_te_streamed(curve: CurveSpec, prepared: PreparedTe, inf, scalars,
             merged = _accum_merge_chunk_te(curve, c, nbe, "traced",
                                            use_pallas, prepared.packed,
                                            digits, perm, starts, counts)
+            # bound the in-flight dispatch window: without a sync the async
+            # queue holds EVERY chunk's digit/perm/sort temps live at once
+            # (16 x ~1.5 GB at 2^26 -> ResourceExhausted); one tiny
+            # transfer per chunk costs ~24 ms against a multi-second chunk
+            jax.device_get(merged.x.ravel()[0])
             for k, w in enumerate(range(lo, hi)):
                 window_sums[w] = te.TePoint(*(a[k] for a in merged))
     stacked = te.TePoint(*(jnp.stack([getattr(p, f) for p in window_sums])

@@ -84,6 +84,24 @@ class Domain:
         self.pows_inv = _power_table(spec, half, self.w_inv)
         self.bitrev = jnp.asarray(_bitrev_perm(log_n))
         cls._cache[key] = self
+        # Pre-build the four-step split resources for BIG transforms on the
+        # kernel backend: `radix2.ntt` routes log_n > fr_kernel.MAX_LOG
+        # through two kernel-sized sub-transforms + a step-twiddle pass, and
+        # those sub-domains/twiddle matrices must exist EAGERLY (ntt() is
+        # jitted; Domain construction inside a trace would cache tracers —
+        # the guard above).  Domains are always constructed eagerly, so
+        # hooking here guarantees the split resources exist before any
+        # traced use.
+        from . import fr_kernel
+        l1 = log_n // 2
+        if (fr_kernel.enabled() and spec.n_limbs > 2
+                and log_n > fr_kernel.MAX_LOG and l1 >= fr_kernel.MIN_LOG
+                and log_n <= 26):
+            from . import fourstep
+            Domain(spec, l1)
+            Domain(spec, log_n - l1)
+            fourstep.twiddle_matrix(spec, l1, log_n - l1, False)
+            fourstep.twiddle_matrix(spec, l1, log_n - l1, True)
         return self
 
 
