@@ -123,3 +123,35 @@ def test_prepare_points_blocked_writes(fixture_points, monkeypatch):
         got = (int(fp.to_ints(CURVE.field, a.x)[()]),
                int(fp.to_ints(CURVE.field, a.y)[()]))
         assert got == exp
+
+
+def test_prepare_host_mode_matches_device(monkeypatch):
+    """m=1 host-RAM table assembly (the 2^26 OOM fix: per-block device_get
+    + one bulk upload) must produce the identical packed table as the
+    device-side donated-write build."""
+    import os
+
+    import jax
+    import numpy as np
+
+    import ec_ref
+    from zprize_tpu.curve import sw
+    from zprize_tpu.curve.spec import BLS12_377_G1
+    from zprize_tpu.field import fp
+    from zprize_tpu.msm import pippenger
+
+    curve = BLS12_377_G1
+    n = 48
+    pts = ec_ref.random_subgroup_points(curve, n, seed=3)
+    import jax.numpy as jnp
+    aff = sw.Affine(fp.from_ints(curve.field, [p[0] for p in pts]),
+                    fp.from_ints(curve.field, [p[1] for p in pts]),
+                    jnp.zeros((n,), bool))
+    monkeypatch.setenv("ZPRIZE_PRECOMPUTE", "0")      # force m=1
+    monkeypatch.setenv("ZPRIZE_PREP_BLOCK_LOG", "4")  # several blocks
+    dev = pippenger.prepare_points(curve, aff, c=8)
+    monkeypatch.setenv("ZPRIZE_PREP_HOST_LOG", "4")   # force host mode
+    host = pippenger.prepare_points(curve, aff, c=8)
+    assert host.m == dev.m == 1
+    assert (np.asarray(jax.device_get(host.packed))
+            == np.asarray(jax.device_get(dev.packed))).all()

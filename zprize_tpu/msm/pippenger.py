@@ -343,8 +343,21 @@ def prepare_points(curve: CurveSpec, points: sw.Affine,
     # default block 2^18: the m~18-multiple doubling-chain scan holds ~7 GB
     # of HLO temps per 2^18 block (measured: 28.6 GB at one 2^20 block)
     block = min(n, 1 << int(os.environ.get("ZPRIZE_PREP_BLOCK_LOG", "18")))
+    # m == 1 at scale: assemble the table in HOST RAM and upload once.
+    # The device-side incremental build (donated block writes) OOM'd at
+    # 2^26 even with per-block syncs — through the remote axon queue the
+    # bad_b transfer does not reliably drain the donated write chain, so
+    # block outputs pile up next to the 10.5 GB table.  A per-block
+    # device_get of the packed rows forces real completion, keeps only one
+    # block's buffers live on device, and costs one bulk ~10.5 GB upload
+    # at the end (untimed init).
+    host_mode = (m == 1 and
+                 n >= (1 << int(os.environ.get("ZPRIZE_PREP_HOST_LOG",
+                                               "22"))))
     packed = None
+    packed_np = None
     bads = []
+    any_bad = False
     for lo in range(0, n, block):
         hi = min(n, lo + block)
         px, py, pinf = (points.x[lo:hi], points.y[lo:hi], points.inf[lo:hi])
@@ -355,6 +368,13 @@ def prepare_points(curve: CurveSpec, points: sw.Affine,
         else:
             pk_b, bad_b = te_path.prepare_points(curve, px, py, pinf)
             pk_b = pk_b[None]
+        if host_mode:
+            arr = np.asarray(jax.device_get(pk_b[0]))
+            if packed_np is None:
+                packed_np = np.empty((n, arr.shape[-1]), arr.dtype)
+            packed_np[lo:hi] = arr
+            any_bad |= bool(np.asarray(jax.device_get(bad_b)))
+            continue
         if hi - lo < n:
             # force completion before enqueueing the next chunk: the async
             # dispatch queue would otherwise hold every chunk's HLO temps
@@ -367,6 +387,13 @@ def prepare_points(curve: CurveSpec, points: sw.Affine,
             packed = jnp.zeros((m, n, pk_b.shape[-1]), pk_b.dtype)
         packed = _write_block(packed, pk_b, jnp.int32(lo))
         bads.append(bad_b)
+    if host_mode:
+        if any_bad:
+            raise ValueError(
+                "input contains exceptional points with no twisted-Edwards "
+                "image; rerun with ZPRIZE_TE=0 for the short-Weierstrass "
+                "path")
+        return PreparedTe(jnp.asarray(packed_np), c, g, m, n)
     packed = packed.reshape(m * n, packed.shape[-1])
     bad = jnp.any(jnp.stack(bads))
     if bool(np.asarray(jax.device_get(bad))):
@@ -747,9 +774,10 @@ def _msm_te_sorted_device(curve: CurveSpec, c: int, g: int, m: int,
 
 def _sort_build_mode() -> int:
     """Static sorted-table build mode for the eager callers: -1 = gather
-    build (ZPRIZE_SORT_BUILD=gather), else ZPRIZE_SORT_OPS chunked/full
-    payload sort (see `_sort_rows_payload`)."""
-    if os.environ.get("ZPRIZE_SORT_BUILD") == "gather":
+    build (the DEFAULT — the 41-operand payload sort is a >40 min remote
+    XLA:TPU compile at 2^18, r4 probe), else ZPRIZE_SORT_BUILD=payload
+    with ZPRIZE_SORT_OPS chunked/full sorts (see `_sort_rows_payload`)."""
+    if os.environ.get("ZPRIZE_SORT_BUILD", "gather") == "gather":
         return -1
     return int(os.environ.get("ZPRIZE_SORT_OPS", "0"))
 
@@ -866,13 +894,14 @@ def _msm_te(curve: CurveSpec, prepared: PreparedTe, inf, scalars, c: int,
     n_win = num_windows(curve, c)
     full_nbe = 1 << (c - 1)
     if prepared.m > 1:
-        # Default is the gather accumulate: the fully-fused sorted-table
-        # dispatch (`_msm_te_sorted_device`) hits a pathological remote
-        # XLA:TPU compile (>35 min at 2^18 c=17, r3 measurement) — its
-        # kernels are sound (interpret-mode differential tests) but the
-        # single sort+multi-tier-slab+merge+combine program is too large
-        # for the compiler today.  Opt in with ZPRIZE_ACCUM=sorted.
-        if use_pallas and os.environ.get("ZPRIZE_ACCUM", "gather") == "sorted":
+        # DEFAULT since r4: the sorted-table accumulate (bucket-major
+        # physical table + contiguous strip slabs) at 487.7k pts/s vs the
+        # gather path's 378.1k at 2^18 on hardware.  The table builds via
+        # the 2-operand key sort + one row gather (`_sort_build_mode`);
+        # the r3 compile pathology was isolated to the 41-operand payload
+        # SORT (>40 min standalone), not the slab kernels (87.8 s).
+        # ZPRIZE_ACCUM=gather reverts to the per-rank gather accumulate.
+        if use_pallas and os.environ.get("ZPRIZE_ACCUM", "sorted") == "sorted":
             res_can = _msm_te_sorted_device(
                 curve, c, prepared.g, prepared.m, prepared.n, False,
                 prepared.packed, scalars, inf)
