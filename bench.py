@@ -148,11 +148,18 @@ def bench_ntt_dist():
     jax.block_until_ready(out)
     log(f"first run (incl. compile): {time.time()-t0:.1f}s")
 
+    # verification entirely via HOST transfers: comparing a mesh-sharded
+    # array against a replicated reference inserts XLA:CPU collectives,
+    # and under load those hard-abort the process on a 40 s rendezvous
+    # timeout (8 virtual devices > physical cores)
+    import numpy as _np
+    got_np = _np.asarray(jax.device_get(out))            # (n1, n2, L)
+    got_np = _np.swapaxes(got_np, 0, 1).reshape(-1, got_np.shape[-1])
     ref = ntt_fourstep(GOLDILOCKS, a, l1, l2)
-    got = flatten_output(out)
-    ok = bool(jax.device_get(jnp.all(
-        fp.to_canonical(GOLDILOCKS, got)
-        == fp.to_canonical(GOLDILOCKS, ref))))
+    ref_np = _np.asarray(jax.device_get(fp.to_canonical(GOLDILOCKS, ref)))
+    can_np = _np.asarray(jax.device_get(
+        fp.to_canonical(GOLDILOCKS, jnp.asarray(got_np))))
+    ok = bool((can_np == ref_np).all())
     if not ok:
         log("DISTRIBUTED NTT MISMATCH — benchmark invalid")
         print(json.dumps({"metric": f"goldilocks_ntt_dist_2^{logn}_ms",

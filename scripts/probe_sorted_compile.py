@@ -41,9 +41,9 @@ def main():
     probes = os.environ.get("PROBE", "table,accum").split(",")
 
     if "table" in probes:
-        # (m*n, 3h): matches the production PreparedTe.packed shape exactly
+        # (3h, m*n) column-major: matches the production PreparedTe.packed shape
         # so compiling here warms the persistent cache for the real program
-        args = (jax.ShapeDtypeStruct((r_rows, 3 * h), jnp.uint32),
+        args = (jax.ShapeDtypeStruct((3 * h, r_rows), jnp.uint32),
                 jax.ShapeDtypeStruct((n, CURVE.scalar.n_limbs), jnp.uint32),
                 jax.ShapeDtypeStruct((n,), jnp.bool_))
         t0 = time.time()

@@ -104,7 +104,8 @@ def test_prepare_points_blocked_writes(fixture_points, monkeypatch):
     h = (f.n_limbs + 1) // 2
 
     def canon_rows(packed):
-        w = np.asarray(packed)[:, :3 * h]
+        # packed is column-major (3h, m*n) — view as rows for comparison
+        w = np.asarray(packed).T[:, :3 * h]
         out = []
         for q in range(3):                 # coord q: words [q*h, (q+1)*h)
             wq = w[:, q * h:(q + 1) * h]

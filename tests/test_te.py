@@ -139,7 +139,8 @@ def test_accumulate_te_pallas_interpret():
     digits = pippenger.signed_digits(CURVE, c, n_win, s)
     perm, starts, counts, _ = pippenger.bucket_counts_all(c, digits)
     tx, ty, _ = te.sw_to_te(CURVE, points.x, points.y, points.inf)
-    packed = te_path.precompute_packed(CURVE, te.precompute(CURVE, tx, ty))
+    packed = te_path.precompute_packed(CURVE,
+                                       te.precompute(CURVE, tx, ty)).T
     ref = te_path.accumulate_te(CURVE, c, 64, packed, digits, perm,
                                 starts, counts, nbe)
     lane_counts = np.asarray(jax.device_get(counts[:, 1:nbe + 1])).reshape(-1)
@@ -170,7 +171,8 @@ def test_merge_te_pallas_interpret():
     digits = pippenger.signed_digits(CURVE, c, n_win, s)
     perm, starts, counts, _ = pippenger.bucket_counts_all(c, digits)
     tx, ty, _ = te.sw_to_te(CURVE, points.x, points.y, points.inf)
-    packed = te_path.precompute_packed(CURVE, te.precompute(CURVE, tx, ty))
+    packed = te_path.precompute_packed(CURVE,
+                                       te.precompute(CURVE, tx, ty)).T
     sums = te_path.accumulate_te(CURVE, c, 64, packed, digits, perm,
                                  starts, counts, nbe)
     ref = te_path.merge_buckets_te(CURVE, c, sums)
@@ -194,7 +196,8 @@ def test_merge_te_triangle():
     digits = pippenger.signed_digits(CURVE, c, n_win, s)[:2]
     perm, starts, counts, _ = pippenger.bucket_counts_all(c, digits)
     tx, ty, _ = te.sw_to_te(CURVE, points.x, points.y, points.inf)
-    packed = te_path.precompute_packed(CURVE, te.precompute(CURVE, tx, ty))
+    packed = te_path.precompute_packed(CURVE,
+                                       te.precompute(CURVE, tx, ty)).T
     sums = te_path.accumulate_te(CURVE, c, 64, packed, digits, perm,
                                  starts, counts, nbe)
     assert te_path.triangle_split(2, nbe) is not None

@@ -1116,7 +1116,7 @@ def accumulate_te_pallas(curve: CurveSpec, c: int, cap: int, packed,
     (2) the 7M unified TE kernel.  Returns a TePoint of (n_win,
     n_buckets_eff) lanes."""
     from ..curve import te as te_mod
-    n = packed.shape[0]
+    n = packed.shape[1]                    # packed: column-major (3h, N)
     if n_buckets_eff is None:
         n_buckets_eff = 1 << (c - 1)
     n_win = digits.shape[0]
@@ -1128,8 +1128,8 @@ def accumulate_te_pallas(curve: CurveSpec, c: int, cap: int, packed,
     nl = f.n_limbs
     h = (nl + 1) // 2
     rows_n = 3 * h + (-3 * h) % 8
-    if packed.shape[1] < rows_n:
-        packed = jnp.pad(packed, ((0, 0), (0, rows_n - packed.shape[1])))
+    if packed.shape[0] < rows_n:
+        packed = jnp.pad(packed, ((0, rows_n - packed.shape[0]), (0, 0)))
 
     starts_b = starts[:, 1:n_buckets_eff + 1].reshape(-1)
     counts_b = counts[:, 1:n_buckets_eff + 1].reshape(-1)
@@ -1193,9 +1193,9 @@ def accumulate_te_pallas(curve: CurveSpec, c: int, cap: int, packed,
             idx = perm[wol_p, pos]
             valid = (r < ct_p).astype(jnp.uint32)
             sign = (digits[wol_p, idx] < 0).astype(jnp.uint32)
-            rows = jnp.take(packed, idx, axis=0)       # (p, rows_n)
+            rows = jnp.take(packed, idx, axis=1)       # (rows_n, p)
             mask = (valid | (sign << 1))[None, :]
-            return addp(a[0], a[1], a[2], a[3], rows.T, mask)
+            return addp(a[0], a[1], a[2], a[3], rows, mask)
 
         sub = tuple(a[:, :p_len] for a in acc)
         sub = jax.lax.fori_loop(d_prev, d, tbody, sub)

@@ -258,9 +258,12 @@ import typing
 
 class PreparedTe(typing.NamedTuple):
     """Init-stage point preprocessing for the TE path.  `packed` holds
-    m blocks of u16-packed precomputed rows (block j = 2^(c*g*j) * P);
-    m == 1 means no window collapse (c/g unused beyond bookkeeping)."""
-    packed: jax.Array      # (m*n, 3h)
+    m blocks of u16-packed precomputed rows (block j = 2^(c*g*j) * P),
+    COLUMN-major — point j*n+i is column j*n+i (see
+    `te_path.prepare_points` for why row-major (N, 39) is a 3.3x device
+    HBM/gather blowup).  m == 1 means no window collapse (c/g unused
+    beyond bookkeeping)."""
+    packed: jax.Array      # (3h, m*n) column-major
     c: int
     g: int                 # bucket sets after collapse
     m: int                 # stored multiples per point
@@ -310,9 +313,33 @@ def plan_collapse(curve: CurveSpec, n: int, c: int | None = None,
 
 @functools.partial(jax.jit, donate_argnums=0)
 def _write_block(table, block, lo):
-    """In-place (donated) block write into the (m, n, W) precompute table."""
+    """In-place (donated) block write into the (3h, m, n) precompute
+    table (column-major convention)."""
     return jax.lax.dynamic_update_slice(
-        table, block, (jnp.int32(0), lo, jnp.int32(0)))
+        table, block, (jnp.int32(0), jnp.int32(0), lo))
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _upload_block(table, block, lo):
+    """Donated column-chunk write into the (3h, n) device table."""
+    return jax.lax.dynamic_update_slice(table, block, (jnp.int32(0), lo))
+
+
+def _upload_table(packed_np: np.ndarray) -> jax.Array:
+    """Host (3h, n) table -> device, in column chunks.  A single bulk
+    device_put of the 10.7 GB table OOMs: the transfer materializes a
+    linear staging buffer AND the tiled layout copy (2x peak).  Chunked
+    donated writes keep the transient at one chunk (~0.65 GB x2), with a
+    per-chunk drain so the chain cannot pile up."""
+    n = packed_np.shape[1]
+    chunk = 1 << 22
+    table = jnp.zeros(packed_np.shape, jnp.uint32)
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        blk = jnp.asarray(np.ascontiguousarray(packed_np[:, lo:hi]))
+        table = _upload_block(table, blk, jnp.int32(lo))
+        jax.device_get(table[0, lo])
+    return table
 
 
 def prepare_points(curve: CurveSpec, points: sw.Affine,
@@ -362,17 +389,18 @@ def prepare_points(curve: CurveSpec, points: sw.Affine,
         hi = min(n, lo + block)
         px, py, pinf = (points.x[lo:hi], points.y[lo:hi], points.inf[lo:hi])
         if m > 1:
+            # column-major (3h, m*blk) -> (3h, m, blk)
             pk_b, bad_b = te_path.prepare_points_collapsed(
                 curve, px, py, pinf, c * g, m)
-            pk_b = pk_b.reshape(m, hi - lo, pk_b.shape[-1])
+            pk_b = pk_b.reshape(pk_b.shape[0], m, hi - lo)
         else:
             pk_b, bad_b = te_path.prepare_points(curve, px, py, pinf)
-            pk_b = pk_b[None]
+            pk_b = pk_b[:, None, :]
         if host_mode:
-            arr = np.asarray(jax.device_get(pk_b[0]))
+            arr = np.asarray(jax.device_get(pk_b[:, 0]))
             if packed_np is None:
-                packed_np = np.empty((n, arr.shape[-1]), arr.dtype)
-            packed_np[lo:hi] = arr
+                packed_np = np.empty((arr.shape[0], n), arr.dtype)
+            packed_np[:, lo:hi] = arr
             any_bad |= bool(np.asarray(jax.device_get(bad_b)))
             continue
         if hi - lo < n:
@@ -383,8 +411,8 @@ def prepare_points(curve: CurveSpec, points: sw.Affine,
             jax.device_get(bad_b)
         if packed is None:
             # donated in-place block writes: concatenating the block list
-            # would hold 2x the table (21 GB at 2^26 m=1) at peak
-            packed = jnp.zeros((m, n, pk_b.shape[-1]), pk_b.dtype)
+            # would hold 2x the table at peak
+            packed = jnp.zeros((pk_b.shape[0], m, n), pk_b.dtype)
         packed = _write_block(packed, pk_b, jnp.int32(lo))
         bads.append(bad_b)
     if host_mode:
@@ -393,8 +421,8 @@ def prepare_points(curve: CurveSpec, points: sw.Affine,
                 "input contains exceptional points with no twisted-Edwards "
                 "image; rerun with ZPRIZE_TE=0 for the short-Weierstrass "
                 "path")
-        return PreparedTe(jnp.asarray(packed_np), c, g, m, n)
-    packed = packed.reshape(m * n, packed.shape[-1])
+        return PreparedTe(_upload_table(packed_np), c, g, m, n)
+    packed = packed.reshape(packed.shape[0], m * n)
     bad = jnp.any(jnp.stack(bads))
     if bool(np.asarray(jax.device_get(bad))):
         raise ValueError(
@@ -703,17 +731,17 @@ def _sort_rows_payload(nbe: int, split_ops: int, rows_pad: int, S: int,
     the movement cost of the payload sort (74 vs 29 ns/row) but a
     trivially-compilable program; the slab reads downstream stay
     contiguous either way."""
-    h3 = packed.shape[1]
+    h3 = packed.shape[0]                   # packed: column-major (3h, R)
     key = jnp.abs(digits_w).astype(jnp.uint32)
     sign = (digits_w < 0).astype(jnp.uint32)
     if split_ops == -1:
         iota = jax.lax.iota(jnp.uint32, key.shape[0])
         skey, perm = jax.lax.sort((key, iota), num_keys=1, is_stable=False)
         pi = perm.astype(jnp.int32)
-        rows = jnp.take(packed, pi, axis=0)              # (R, 3h)
-        cols = [rows[:, j] for j in range(h3)] + [jnp.take(sign, pi)]
+        rows = jnp.take(packed, pi, axis=1)              # (3h, R)
+        cols = [rows[j] for j in range(h3)] + [jnp.take(sign, pi)]
     else:
-        payload = tuple(packed[:, j] for j in range(h3)) + (sign,)
+        payload = tuple(packed[j] for j in range(h3)) + (sign,)
         if split_ops <= 0 or split_ops >= len(payload):
             sorted_ops = jax.lax.sort((key,) + payload, num_keys=1,
                                       is_stable=False)
@@ -869,7 +897,8 @@ def _msm_te_sorted_streamed(curve: CurveSpec, prepared: PreparedTe, inf,
         for lo in range(0, n, run):
             hi = min(n, lo + run)
             tbl, st, ct = _sorted_run_te(curve, c, split_ops,
-                                         prepared.packed[lo:hi], d_w[lo:hi])
+                                         prepared.packed[:, lo:hi],
+                                         d_w[lo:hi])
             part = accumulate_te_sorted(curve, c, nbe, SLAB_S, interpret,
                                         tbl, st, ct, part)
         # bound the in-flight dispatch window (one sorted table copy +

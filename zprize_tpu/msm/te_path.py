@@ -64,10 +64,17 @@ def prepare_points(curve: CurveSpec, x, y, inf):
     """SW affine planes -> (packed TE rows, any_exceptional flag), one fused
     graph (the eager form costs thousands of dispatches through the Fermat
     inversion — this is the reference's untimed `multi_scalar_mult_init`
-    preprocessing stage, `prize1a-msm-gpu/yrrid/src/lib.rs:38-64`)."""
+    preprocessing stage, `prize1a-msm-gpu/yrrid/src/lib.rs:38-64`).
+
+    Returned packed table is COLUMN-major (3h, n): the (n, 3h) row-major
+    form tiles its 39-wide minor dim up to 128 lanes on device (T(8,128)
+    layout) — a silent 3.3x HBM blowup (the "10.5 GB" 2^26 table was
+    really 34 GB, discovered when its upload threw ResourceExhausted) and
+    3.3x the gather traffic.  Column-major puts N on the lane axis
+    (128-aligned) and 3h on sublanes (39 -> 40 pad only)."""
     tx, ty, bad = te.sw_to_te(curve, x, y, inf)
     packed = precompute_packed(curve, te.precompute(curve, tx, ty))
-    return packed, jnp.any(bad)
+    return packed.T, jnp.any(bad)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
@@ -119,7 +126,8 @@ def prepare_points_collapsed(curve: CurveSpec, x, y, inf, shift: int,
     ax = fp.mul(f, all_pts.x, zinv)
     ay = fp.mul(f, all_pts.y, zinv)
     packed = precompute_packed(curve, te.precompute(curve, ax, ay))
-    return packed.reshape(-1, packed.shape[-1]), jnp.any(bad)
+    # column-major (3h, m*n) — see prepare_points for the layout rationale
+    return packed.reshape(-1, packed.shape[-1]).T, jnp.any(bad)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -150,7 +158,7 @@ def accumulate_te(curve: CurveSpec, c: int, cap, packed, digits,
     a TRACED scalar (the fori trip count lowers to a while loop): callers
     pass max(counts) computed in-graph, so one compile serves every
     occupancy profile."""
-    n = packed.shape[0]
+    n = packed.shape[1]                      # packed: column-major (3h, N)
     n_win = digits.shape[0]
     if n_buckets_eff is None:
         n_buckets_eff = 1 << (c - 1)
@@ -164,7 +172,8 @@ def accumulate_te(curve: CurveSpec, c: int, cap, packed, digits,
         pos = jnp.clip(starts_b + r, 0, n - 1)
         valid = r < counts_b
         idx = jnp.take_along_axis(perm, pos, axis=1)          # (W, B)
-        rows = jnp.take(packed, idx, axis=0)                  # (W, B, 3h)
+        rows = jnp.moveaxis(jnp.take(packed, idx, axis=1),
+                            0, -1)                            # (W, B, 3h)
         pre = unpack_pre(curve, rows)
         sign = jnp.take_along_axis(digits, idx, axis=1) < 0
         pre = te.select_neg_pre(curve, sign, pre)
