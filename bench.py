@@ -473,6 +473,7 @@ def main():
                                 prepared=prepared)
             sync(res)
             times.append(time.time() - t0)
+            log(f"iter {k}: {times[-1]*1e3:.1f} ms")   # survives a cutoff
             del sk
     dt = sum(times) / iters
     pts_per_s = n / dt
