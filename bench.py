@@ -115,7 +115,34 @@ def bench_ntt_dist():
     (one physical TPU chip in this environment — the mesh path is the
     same SPMD program that would ride ICI on a pod slice).  Baseline
     context: hardcaml's 8->64-core scaling table
-    (`zprize_ntt_top.mld:142-149`, 231.5 ms at 8 cores)."""
+    (`zprize_ntt_top.mld:142-149`, 231.5 ms at 8 cores).
+
+    Runs the measurement in a CHILD process: 8 virtual devices on a
+    loaded 4-core box can hard-abort on XLA:CPU's 40 s collective
+    rendezvous timeout ("Termination timeout for all gather"), which
+    kills the process outright — the parent turns that into a JSON error
+    line instead of a silent death."""
+    if os.environ.get("ZPRIZE_NTT_DIST_CHILD") != "1":
+        import subprocess
+        env = dict(os.environ,
+                   ZPRIZE_NTT_DIST_CHILD="1", BENCH_METRIC="ntt_dist")
+        logn = int(os.environ.get("BENCH_NTT_LOGN", "24"))
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, stdout=subprocess.PIPE,
+                           timeout=float(os.environ.get(
+                               "BENCH_NTT_DIST_TIMEOUT_S", "3600")))
+        out = r.stdout.decode()
+        if '"metric"' in out:
+            sys.stdout.write(out)
+            return
+        log(f"ntt_dist child died (rc={r.returncode}) before reporting — "
+            "likely the XLA:CPU collective rendezvous abort under load; "
+            "rerun when the box is idle")
+        print(json.dumps({"metric": f"goldilocks_ntt_dist_2^{logn}_ms",
+                          "value": 0.0, "unit": "ms", "vs_baseline": 0.0,
+                          "error": f"child exited rc={r.returncode} "
+                                   "without a result (collective abort?)"}))
+        return
     n_dev = int(os.environ.get("BENCH_NTT_DEVS", "8"))
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + f" --xla_force_host_platform_device_count={n_dev}")
@@ -275,10 +302,15 @@ def bench_posw():
     keys = posw.setup()
     log(f"posw keygen (untimed init): {time.time()-t0:.1f}s; "
         f"n={1 << keys.pk.log_n} k={1 << keys.pk.log_k}")
-    # warm: one full prove + verify (the dispatcher-verifies-everything
-    # oracle pattern)
+    window = float(os.environ.get("BENCH_POSW_WINDOW_S", "20"))
+    batch = int(os.environ.get("BENCH_POSW_BATCH", "8"))
+    # warm + oracle on the BATCHED shape only (the dispatcher-verifies-
+    # everything pattern): the scoring loop never runs the unbatched
+    # prover, and its B=1 compile alone was a second ~27 min cold remote
+    # build in r4 — one batched warm covers both roles
     t0 = time.time()
-    sol = posw.mine(keys, header=42, target=BLS12_377_FR.p, max_nonces=1)
+    sol = posw.mine_batch(keys, header=42, target=BLS12_377_FR.p,
+                          start_nonce=1, max_nonces=batch, batch=batch)
     assert sol is not None
     if not posw.verify_work(keys, keys.pk.srs, sol, BLS12_377_FR.p):
         log("POSW PROOF DID NOT VERIFY — benchmark invalid")
@@ -286,16 +318,8 @@ def bench_posw():
                           "unit": "proofs/20s", "vs_baseline": 0.0,
                           "error": "verify failed"}))
         return
-    log(f"first proof (incl. compile): {time.time()-t0:.1f}s; verified")
-
-    window = float(os.environ.get("BENCH_POSW_WINDOW_S", "20"))
-    batch = int(os.environ.get("BENCH_POSW_BATCH", "8"))
-    if batch > 1:   # warm the batched-shape compile outside the window
-        t0 = time.time()
-        sol = posw.mine_batch(keys, header=42, target=BLS12_377_FR.p,
-                              start_nonce=1, max_nonces=batch, batch=batch)
-        assert sol is not None
-        log(f"batched warm (B={batch}, incl. compile): {time.time()-t0:.1f}s")
+    log(f"first batched prove (B={batch}, incl. compile): "
+        f"{time.time()-t0:.1f}s; solution verified")
     t0 = time.time()
     nonce, proofs = 1 + batch, 0
     while time.time() - t0 < window:
@@ -314,6 +338,180 @@ def bench_posw():
                       "unit": "proofs/20s", "vs_baseline": rate / 750.0}))
 
 
+def bench_verify():
+    """team-prize1 metric: Marlin batch-verification rounds per 10 s.
+    Mirrors the challenge harness (`prize-marlin-verifier/src/main.rs:233-257`):
+    three pre-built proof groups of 10 / 100 / 20 proofs with faulty
+    proofs injected at 1/5, 1/50, 1/10 probability (tamper = negate the
+    g_1 commitment, `main.rs:182`); one verified group = one round; every
+    per-proof verdict must be exact.  Baseline: sean-sn at 14 rounds/10 s
+    on ONE vCPU (`sean-sn/README.md:58`).
+
+    Runs on CPU: the track is scored on a 1-vCPU instance and the
+    workload is host-int pairings + sumcheck checks with a Poseidon
+    transcript — there is no MSM/NTT to feed the TPU.  Caveat vs the
+    baseline: the reference's proofs are snarkVM BATCH proofs over 10-100
+    instances each, ours are single-instance Marlin proofs, so a
+    reference round does more instance-work per proof; the rounds/10 s
+    comparison is an approximation (noted in PARITY).  Proof objects are
+    reused across group slots (4 distinct good + 4 tampered): verification
+    cost does not depend on proof provenance — the same clone-extension
+    trick the MSM harness uses (`yrrid/src/util.rs:15-29`)."""
+    import hashlib
+    with open("/proc/cpuinfo") as fh:
+        info = [ln for ln in fh.read().splitlines()
+                if ln.startswith(("model name", "flags"))][:2]
+    tag = hashlib.sha1("\n".join(info).encode()).hexdigest()[:10]
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = f"/tmp/zprize_tpu_jax_cache_{tag}"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import random as _rnd
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from zprize_tpu.curve.spec import BLS12_377_G1
+    from zprize_tpu.field.spec import BLS12_377_FR
+    from zprize_tpu.marlin import ahp, indexer
+    from zprize_tpu.marlin.r1cs import R1CSBuilder
+    from zprize_tpu.pcs import kzg
+
+    curve, fr = BLS12_377_G1, BLS12_377_FR
+    p = fr.p
+
+    # ~100-constraint circuit, the harness's Benchmark shape
+    # (`main.rs:73-116`: c = a*b public, filler constraints)
+    n_constraints = int(os.environ.get("BENCH_VERIFY_CONSTRAINTS", "100"))
+    rb = R1CSBuilder(fr, num_public=1)
+    a_v = rb.new_witness()
+    b_v = rb.new_witness()
+    c_v = rb.mul(a_v, b_v)
+    for _ in range(n_constraints - 2):
+        rb.mul(a_v, b_v)
+    rb.enforce_equal(c_v, rb.public(0))
+    r1 = rb.build()
+
+    def witness(a_i, b_i):
+        c_i = a_i * b_i % p
+        z = [1, c_i, a_i % p, b_i % p] + [c_i] * (n_constraints - 1)
+        return z
+
+    rng = _rnd.Random(0xC0FFEE)
+    t0 = time.time()
+    n = 1 << max(r1.num_constraints, r1.num_vars, 2).bit_length()
+    k = 1 << max(len(r1.a), len(r1.b), len(r1.c), 2).bit_length()
+    srs = kzg.setup_test_srs(curve, max(3 * k, 2 * n) + 8, seed=11)
+    pk = indexer.index(curve, r1, srs)
+    log(f"setup (srs n={max(3 * k, 2 * n) + 8} + index): {time.time()-t0:.1f}s; "
+        f"{r1.num_constraints} constraints")
+
+    t0 = time.time()
+    zs = [witness(rng.randrange(1, p), rng.randrange(1, p)) for _ in range(4)]
+    for z in zs:
+        assert r1.is_satisfied(z)
+    proofs = ahp.prove_batch(pk, zs)
+    pool = [(z[:r1.num_public], pr) for z, pr in zip(zs, proofs)]
+    log(f"proved {len(pool)} distinct instances: {time.time()-t0:.1f}s")
+    for pub, pr in pool:
+        assert ahp.verify(pk.vk, srs, pub, pr)
+
+    def tampered(proof):
+        import copy
+        bad = copy.deepcopy(proof)
+        x, y = bad.comms["g_1"]
+        bad.comms["g_1"] = (x, (-y) % curve.field.p)    # main.rs:182 tamper
+        return bad
+
+    bad_pool = [(pub, tampered(pr)) for pub, pr in pool]
+
+    # groups exactly as the harness builds them (`main.rs:174-231`)
+    def build_group(count, fault_denom):
+        group, faulty = [], []
+        for _ in range(count):
+            is_bad = rng.randrange(fault_denom) == 0
+            src = bad_pool if is_bad else pool
+            group.append(src[rng.randrange(len(src))])
+            faulty.append(is_bad)
+        return group, faulty
+
+    groups = [build_group(10, 5), build_group(100, 50), build_group(20, 10)]
+    for gi, (g, f) in enumerate(groups):
+        log(f"group {gi + 1}: {len(g)} proofs, {sum(f)} faulty")
+
+    # warm one pass (transcript sponge compiles) + verdict check
+    vrng = _rnd.Random(7)
+    t0 = time.time()
+    for g, f in groups:
+        verdicts = ahp.verify_group(pk.vk, srs, g, rng=vrng)
+        assert verdicts == [not x for x in f], "verdict mismatch"
+    log(f"warm cycle (3 groups, incl. compile): {time.time()-t0:.1f}s; "
+        f"all verdicts exact")
+
+    window = float(os.environ.get("BENCH_VERIFY_WINDOW_S", "10"))
+    rounds = 0
+    t0 = time.time()
+    while True:
+        g, f = groups[rounds % 3]
+        verdicts = ahp.verify_group(pk.vk, srs, g, rng=vrng)
+        if verdicts != [not x for x in f]:
+            log("VERDICT MISMATCH — benchmark invalid")
+            print(json.dumps({"metric": "marlin_verify_rounds_per_10s",
+                              "value": 0.0, "unit": "rounds/10s",
+                              "vs_baseline": 0.0, "error": "verdict mismatch"}))
+            return
+        rounds += 1
+        if time.time() - t0 > window:
+            break
+    dt = time.time() - t0
+    rate = rounds / dt * 10.0
+    log(f"steady-state: {rounds} rounds in {dt:.1f}s -> {rate:.1f} rounds/10s")
+    print(json.dumps({"metric": "marlin_verify_rounds_per_10s",
+                      "value": rate, "unit": "rounds/10s",
+                      "vs_baseline": rate / 14.0}))
+
+
+def _scalar_batch_np(curve, rng_np, n):
+    """Vectorized canonical scalar batch: (n, L) uint16 base-2^15 limb
+    planes, uniform in [0, order) by limb-wise rejection sampling — no
+    python-int loops (the r4 staging built each batch from 2^24 randrange
+    calls + a python limb split: 9.8 s/batch, VERDICT r4 #6; this is
+    ~100x).  The planes are exactly `fp.compact_scalars` output form
+    (canonical, limbs < 2^15), accepted directly by the digit
+    extraction."""
+    fr = curve.scalar
+    L = fr.n_limbs
+    order = curve.order
+    r_limbs = [(order >> (15 * k)) & 0x7FFF for k in range(L)]
+    top_bits = order.bit_length() - 15 * (L - 1)
+    assert top_bits > 0
+    out = np.zeros((n, L), np.uint16)
+    need = np.ones(n, bool)
+    while need.any():
+        k = int(need.sum())
+        cand = rng_np.integers(0, 1 << 15, size=(k, L), dtype=np.uint16)
+        cand[:, L - 1] &= (1 << top_bits) - 1
+        lt = np.zeros(k, bool)
+        eq = np.ones(k, bool)
+        for j in range(L - 1, -1, -1):
+            lt |= eq & (cand[:, j] < r_limbs[j])
+            eq &= cand[:, j] == r_limbs[j]
+        out[need] = cand
+        nxt = need.copy()
+        nxt[need] = ~lt
+        need = nxt
+    return out
+
+
+def _oracle_agg(curve, batch_u16, n_base):
+    """Per-base-point scalar aggregates (mod order) for the clone-extension
+    oracle, vectorized: limb-wise int64 column sums + one tiny python-int
+    reconstruction per base point (replaces the 2^26-iteration python
+    loop)."""
+    n, L = batch_u16.shape
+    reps = n // n_base
+    sums = batch_u16.reshape(reps, n_base, L).astype(np.int64).sum(axis=0)
+    assert reps < (1 << 48)  # int64 headroom: limb < 2^15, sum < reps*2^15
+    return [sum(int(sums[i, k]) << (15 * k) for k in range(L)) % curve.order
+            for i in range(n_base)]
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/zprize_tpu_jax_cache_tpu")
@@ -330,6 +528,9 @@ def main():
         return
     if metric == "posw":
         bench_posw()
+        return
+    if metric == "verify":
+        bench_verify()
         return
     npow = int(os.environ.get("BENCH_NPOW", "18"))
     seed = int(os.environ.get("MSM_SEED", "42"))
@@ -386,7 +587,11 @@ def main():
     t0 = time.time()
     prepared = pippenger.prepare_points(curve, points, c)
     if prepared is not None:
-        jax.device_get(prepared.packed.ravel()[0])
+        # sync via a TINY indexed element — .ravel()[0] materializes a
+        # full relayout COPY of the table on device (10.7 GB at 2^26: the
+        # r5 first 4x2^26 attempt OOM'd on exactly this line, AFTER a
+        # successful 19-minute prepare)
+        jax.device_get(prepared.packed[(0,) * prepared.packed.ndim])
         c = prepared.c
         log(f"prepared: c={c} G={prepared.g} m={prepared.m} "
             f"table={prepared.packed.nbytes / 1e9:.2f} GB")
@@ -404,13 +609,12 @@ def main():
 
     # scalars AFTER the table build: device-resident scalar planes during
     # `prepare_points` pushed the 2^26 run over HBM (table 10.5 GB + block
-    # conversion temps + 2.25 GB scalars -> ResourceExhausted)
+    # conversion temps + 2.25 GB scalars -> ResourceExhausted).  Compact
+    # canonical u16 planes (half the HBM), generated vectorized on host.
     t0 = time.time()
-    scalars_int = [rng.randrange(curve.order) for _ in range(n)]
-    # compact canonical scalar planes (uint16): half the HBM, accepted
-    # directly by the digit extraction (part of the 2^26 memory plan)
-    s = fp.compact_scalars(curve.scalar,
-                           fp.from_ints(curve.scalar, scalars_int))
+    rng_np = np.random.default_rng(seed)
+    batch0 = _scalar_batch_np(curve, rng_np, n)
+    s = jax.device_put(jnp.asarray(batch0))
     log(f"scalar batch 0 built: {time.time()-t0:.1f}s")
 
     # warmup/compile
@@ -421,9 +625,7 @@ def main():
 
     # correctness: reduce to the base points (sum the scalars of each clone
     # mod r) and check against the native host oracle.
-    agg = [0] * n_base
-    for i, sc in enumerate(scalars_int):
-        agg[i % n_base] = (agg[i % n_base] + sc) % curve.order
+    agg = _oracle_agg(curve, batch0, n_base)
     expect = None
     for pt, k in zip(base, agg):
         expect = ec_ref.ec_add(expect, _native.scalar_mul(curve, pt[0], pt[1], k)
@@ -449,15 +651,10 @@ def main():
     # run (the reference also stages scalars outside the per-MSM timer).
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.time()
-    batches_np = [np.asarray(jax.device_get(s))]
+    batches_np = [batch0]
     del s
     for _ in range(iters - 1):
-        b = fp.compact_scalars(curve.scalar,
-                               fp.from_ints(curve.scalar,
-                                            [rng.randrange(curve.order)
-                                             for _ in range(n)]))
-        batches_np.append(np.asarray(jax.device_get(b)))
-        del b
+        batches_np.append(_scalar_batch_np(curve, rng_np, n))
     log(f"staged {iters} scalar batches on host: {time.time()-t0:.1f}s")
     prof_dir = os.environ.get("BENCH_PROFILE")
     import contextlib
@@ -467,7 +664,8 @@ def main():
     with prof:
         for k in range(iters):
             sk = jax.device_put(jnp.asarray(batches_np[k]))
-            jax.device_get(sk.ravel()[0])      # finish the transfer
+            jax.device_get(sk[0, 0])           # finish the transfer
+            # (not .ravel()[0]: that copies the whole 2.25 GB plane)
             t0 = time.time()
             res = pippenger.msm(curve, points, sk, c=c,
                                 prepared=prepared)

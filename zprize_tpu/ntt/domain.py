@@ -93,15 +93,14 @@ class Domain:
         # hooking here guarantees the split resources exist before any
         # traced use.
         from . import fr_kernel
-        l1 = log_n // 2
-        if (fr_kernel.enabled() and spec.n_limbs > 2
-                and log_n > fr_kernel.MAX_LOG and l1 >= fr_kernel.MIN_LOG
-                and log_n <= 26):
+        split = fr_kernel.big_split(spec, log_n)
+        if split is not None:
             from . import fourstep
+            l1, l2 = split
             Domain(spec, l1)
-            Domain(spec, log_n - l1)
-            fourstep.twiddle_matrix(spec, l1, log_n - l1, False)
-            fourstep.twiddle_matrix(spec, l1, log_n - l1, True)
+            Domain(spec, l2)
+            fourstep.twiddle_matrix(spec, l1, l2, False)
+            fourstep.twiddle_matrix(spec, l1, l2, True)
         return self
 
 

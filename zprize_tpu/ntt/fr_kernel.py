@@ -107,6 +107,29 @@ def supported(spec: FieldSpec, log_n: int) -> bool:
     return (spec.n_limbs > 2 and MIN_LOG <= log_n <= MAX_LOG)
 
 
+# Largest log_n the four-step big-split routes onto the kernel.  Bounded
+# by the domain sizes the provers actually construct (PLONK quotient
+# domains at 2^16 gates reach 2^19; Marlin/PoSW stay below): the Domain
+# constructor prebuilds BOTH four-step twiddle matrices eagerly —
+# ~(2^l1 · 2^l2 · L) u32 each — so an open-ended cap materializes
+# gigabytes for domains nobody ever transforms (ADVICE r4).
+BIG_MAX_LOG = 20
+
+
+def big_split(spec: FieldSpec, log_n: int):
+    """Four-step split (l1, l2) for kernel-backed transforms above the
+    VMEM cap, or None when the size doesn't route onto the kernel.
+    SINGLE source of truth for the routing predicate — used by both the
+    Domain-construction prebuild hook (domain.py) and the traced router
+    (radix2._big_split); a drifted copy would silently send big
+    transforms to the XLA stage loop."""
+    l1 = log_n // 2
+    if not (enabled() and spec.n_limbs > 2 and log_n > MAX_LOG
+            and l1 >= MIN_LOG and log_n <= BIG_MAX_LOG):
+        return None
+    return l1, log_n - l1
+
+
 def enabled() -> bool:
     import os
     if os.environ.get("ZPRIZE_NO_PALLAS"):

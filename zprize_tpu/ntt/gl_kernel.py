@@ -65,9 +65,10 @@ def _stage_tables(log_n: int, inverse: bool):
             mask[s - 1, i] = 1 if (i % m) < m // 2 else 0
             if m <= 64:
                 e = dlog2[v]
-                e96 = e % 96
-                shift[s - 1, i] = ((e96 & 31) | ((e96 >> 5) << 5)
-                                   | ((e >= 96) << 7))
+                # bits 0-6 = e mod 96 (the decoder reads bits 0-4 as the
+                # sub-32 shift and bits 5-6 as the 32-bit digit offset);
+                # bit 7 = negate (2^96 ≡ -1)
+                shift[s - 1, i] = (e % 96) | ((e >= 96) << 7)
     return twlo, twhi, mask, shift
 
 

@@ -55,12 +55,10 @@ def _big_split(dom: Domain):
     called outside a trace, and declines the route (stage-loop fallback,
     correct but slower) when mid-trace with resources missing."""
     from . import fourstep, fr_kernel
-    l1 = dom.log_n // 2
-    l2 = dom.log_n - l1
-    if not (fr_kernel.enabled() and dom.spec.n_limbs > 2
-            and dom.log_n > fr_kernel.MAX_LOG and l1 >= fr_kernel.MIN_LOG
-            and dom.log_n <= 26):
+    split = fr_kernel.big_split(dom.spec, dom.log_n)
+    if split is None:
         return None
+    l1, l2 = split
     name = dom.spec.name
     have = ((name, l1) in Domain._cache and (name, l2) in Domain._cache
             and (name, l1, l2, False) in fourstep._tw_cache
@@ -69,6 +67,11 @@ def _big_split(dom: Domain):
         return l1, l2
     probe = jnp.zeros((), jnp.uint32) + 0
     if isinstance(probe, jax.core.Tracer):
+        import sys
+        print(f"zprize_tpu.ntt: 2^{dom.log_n} {name} transform traced "
+              "before its four-step split resources existed — falling "
+              "back to the XLA stage loop (correct but slower); "
+              "construct Domain eagerly first", file=sys.stderr)
         return None
     Domain(dom.spec, l1), Domain(dom.spec, l2)
     fourstep.twiddle_matrix(dom.spec, l1, l2, False)
