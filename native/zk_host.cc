@@ -341,6 +341,53 @@ void deserialize_points(int curve_id, const uint8_t* in, u64 n, u64 nbytes,
   }
 }
 
+// Host G1 linear combination: out = sum_i k_i * P_i (affine in/out,
+// standard form; all-zero (x, y) = identity).  Interleaved multi-
+// exponentiation: one shared doubling chain (256 doublings total) plus
+// one conditional add per set scalar bit — the verifier's RLC /
+// batched-opening combine (`kzg.verify_many`, `ahp.batch_tuple`) calls
+// this ONCE per batch instead of running n python double-and-add ladders
+// (~0.3 s/proof of host EC work in the r5 verify profile).
+void lincomb(int curve_id, const u64* pts_xy, const u64* ks4, u64 n,
+             u64* out) {
+  CurveCtx c;
+  make_curve(c, curve_id);
+  Point* pts = new Point[n];
+  bool* live = new bool[n];
+  for (u64 i = 0; i < n; ++i) {
+    const u64* x = pts_xy + i * 12;
+    live[i] = false;
+    for (int j = 0; j < 12; ++j)
+      if (x[j]) live[i] = true;
+    if (!live[i]) continue;
+    to_mont(pts[i].x, x, c.f);
+    to_mont(pts[i].y, x + 6, c.f);
+    std::memcpy(pts[i].z, c.f.one, sizeof(pts[i].z));
+  }
+  Point acc;
+  pt_identity(acc, c);
+  for (int bit = 255; bit >= 0; --bit) {
+    pt_add(acc, acc, acc, c);
+    for (u64 i = 0; i < n; ++i) {
+      if (!live[i]) continue;
+      if ((ks4[i * 4 + bit / 64] >> (bit % 64)) & 1)
+        pt_add(acc, acc, pts[i], c);
+    }
+  }
+  delete[] pts;
+  delete[] live;
+  if (is_zero(acc.z)) {
+    std::memset(out, 0, 12 * sizeof(u64));
+    return;
+  }
+  u64 zi[NL], xa[NL], ya[NL];
+  mont_inv(zi, acc.z, c.f);
+  mont_mul(xa, acc.x, zi, c.f);
+  mont_mul(ya, acc.y, zi, c.f);
+  from_mont(out, xa, c.f);
+  from_mont(out + 6, ya, c.f);
+}
+
 // Scalar-mul oracle: out = k * P (affine in/out, standard form).
 void scalar_mul(int curve_id, const u64* px, const u64* py, const u64* k4,
                 u64* out) {

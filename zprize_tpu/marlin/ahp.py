@@ -204,7 +204,20 @@ def _absorb_vk(tr: Transcript, vk: IndexVerifierKey):
 
 
 def _absorb_host_point(tr: Transcript, curve, xy):
-    tr.absorb_point(_host_point(curve, xy))
+    tr.absorb_point_ints(xy)
+
+
+def _vk_comm_ints(vk) -> dict:
+    """Host (x, y) int pairs of the VK's index commitments, cached on the
+    VK object: they are fixed per key, and converting one device point
+    eagerly (to_affine + to_ints) costs ~1 s on XLA:CPU — the verifier
+    runs per proof, the conversion must not."""
+    cached = getattr(vk, "_comm_ints", None)
+    if cached is None:
+        cached = {nm: kzg.point_ints(vk.curve, c)
+                  for nm, c in vk.commitments.items()}
+        object.__setattr__(vk, "_comm_ints", cached)
+    return cached
 
 
 def _challenge_int(tr: Transcript, curve) -> int:
@@ -513,13 +526,140 @@ def batch_verify(vk: IndexVerifierKey, srs: kzg.Srs, instances,
     multi-pairing (the team-prize1 sean-sn strategy: all field/sumcheck
     checks run per-instance, the 2N pairing equations collapse into one
     random linear combination).  False if ANY instance fails."""
-    all_checks = []
-    for public, proof in instances:
-        checks = _verify_checks(vk, srs, public, proof)
-        if checks is None:
-            return False
-        all_checks.extend(checks)
-    return kzg.verify_many(srs, all_checks, rng=rng)
+    checks = _group_checks(vk, srs, instances)
+    if any(c is None for c in checks):
+        return False
+    return kzg.verify_many(srs, [t for c in checks for t in c], rng=rng)
+
+
+def _group_checks(vk: IndexVerifierKey, srs: kzg.Srs, instances) -> list:
+    """Per-instance opening-check tuples (or None on a failed host
+    check), with Fiat–Shamir derivation LANE-BATCHED across instances:
+    well-formed instances are bucketed by (zk flag, public length) and
+    each bucket runs one broadcast transcript."""
+    checks = [None] * len(instances)
+    buckets: dict = {}
+    for i, (public, proof) in enumerate(instances):
+        if _proof_well_formed(vk, public, proof):
+            key = ("s" in proof.comms, len(public))
+            buckets.setdefault(key, []).append(i)
+    for idxs in buckets.values():
+        chs = _derive_challenges_batch(vk, [instances[i] for i in idxs])
+        for i, ch in zip(idxs, chs):
+            public, proof = instances[i]
+            checks[i] = _checks_host(vk, srs, public, proof, ch)
+    return checks
+
+
+def verify_group(vk: IndexVerifierKey, srs: kzg.Srs, instances,
+                 rng=None) -> list:
+    """Per-instance verdicts for a group of (public, proof) instances —
+    the team-prize1 harness contract (`prize-marlin-verifier/src/main.rs:37-62`:
+    `verify_group` must classify EVERY proof, faulty ones included, and a
+    wrong verdict in either direction fails the challenge).
+
+    Fiat–Shamir derivation is lane-batched across the group (one
+    broadcast transcript per (zk, |public|) bucket — `_group_checks`);
+    the field/sumcheck checks then run per instance on host ints (a
+    tampered proof usually dies here, cheaply, because its commitments
+    reseed the challenges).  Instances that survive share ONE RLC
+    multi-pairing; only if that combined pairing fails are the survivors
+    bisected — on the CACHED opening tuples, no transcript recompute — so
+    isolating f faulty pairings costs O(f·log N) multi-pairings instead
+    of N single ones."""
+    checks = _group_checks(vk, srs, instances)
+    verdicts = [c is not None for c in checks]
+    live = [i for i, c in enumerate(checks) if c is not None]
+
+    def combined_ok(sub) -> bool:
+        tuples = []
+        for i in sub:
+            tuples.extend(checks[i])
+        return kzg.verify_many(srs, tuples, rng=rng)
+
+    def isolate(sub):
+        if not sub or combined_ok(sub):
+            return
+        if len(sub) == 1:
+            verdicts[sub[0]] = False
+            return
+        mid = len(sub) // 2
+        isolate(sub[:mid])
+        isolate(sub[mid:])
+
+    isolate(live)
+    return verdicts
+
+
+def _proof_well_formed(vk: IndexVerifierKey, public, proof) -> bool:
+    """Shape/key validation shared by the sequential and lane-batched
+    verifiers: a malformed proof must fail cleanly here, never poison a
+    batched transcript's lanes with a KeyError."""
+    if len(public) > (1 << vk.log_x) or (public and public[0] != 1):
+        return False
+    zk = "s" in proof.comms
+    comms_needed = (("w", "z_a", "z_b") + (("s",) if zk else ())
+                    + ("g_1", "h_1", "g_1_shift")
+                    + tuple(f"{m}_{sfx}" for m in M_NAMES
+                            for sfx in ("g", "h", "g_shift")))
+    ev_needed = H_OPEN + (("s",) if zk else ()) + K_OPEN
+    return (all(k in proof.comms for k in comms_needed)
+            and all(m in proof.sigmas for m in M_NAMES)
+            and all(k in proof.evals for k in ev_needed))
+
+
+def _derive_challenges_batch(vk: IndexVerifierKey, instances) -> list:
+    """Fiat–Shamir challenges for B same-shape well-formed instances via
+    ONE broadcast (B-lane) transcript — ~30 sponge operations total
+    instead of ~30·B (the per-absorb dispatch cost, ~3 s/proof on
+    XLA:CPU, dominated the r5 verify profile after the host-int point
+    embed landed).  Lane b is bit-identical to the sequential derivation
+    for instance b (`Transcript.broadcast` contract).  All instances must
+    share the zk flag and public-input length (`verify_group` buckets by
+    those)."""
+    curve = vk.curve
+    fr = curve.scalar
+    p = fr.p
+    B = len(instances)
+    zk = "s" in instances[0][1].comms
+    h_order = H_OPEN + (("s",) if zk else ())
+    tr = vk_transcript(curve, vk, label=0x4D41524C494E,
+                       absorb=_absorb_vk).broadcast(B)
+
+    def afr(vals):
+        tr.absorb_fr(fp.from_ints(fr, [v % p for v in vals]))
+
+    def apts(key):
+        tr.absorb_points_ints([pf.comms[key] for _, pf in instances])
+
+    def ch():
+        return [int(v) for v in fp.to_ints(fr, tr.challenge())]
+
+    for j in range(len(instances[0][0])):
+        afr([pub[j] for pub, _ in instances])
+    for name in (("w", "z_a", "z_b", "s") if zk else ("w", "z_a", "z_b")):
+        apts(name)
+    alpha = ch()
+    etas = {m: ch() for m in M_NAMES}
+    apts("g_1")
+    apts("h_1")
+    apts("g_1_shift")
+    beta = ch()
+    for m in M_NAMES:
+        apts(f"{m}_g")
+        apts(f"{m}_h")
+        apts(f"{m}_g_shift")
+        afr([pf.sigmas[m] for _, pf in instances])
+    delta = ch()
+    for name in h_order + K_OPEN:
+        afr([pf.evals[name] for _, pf in instances])
+    u_beta = ch()
+    u_delta = ch()
+    return [
+        {"alpha": alpha[b], "etas": {m: etas[m][b] for m in M_NAMES},
+         "beta": beta[b], "delta": delta[b], "u_beta": u_beta[b],
+         "u_delta": u_delta[b]}
+        for b in range(B)]
 
 
 def _verify_checks(vk: IndexVerifierKey, srs: kzg.Srs, public: list[int],
@@ -529,8 +669,7 @@ def _verify_checks(vk: IndexVerifierKey, srs: kzg.Srs, public: list[int],
     curve = vk.curve
     fr = curve.scalar
     p = fr.p
-    n, ksz, xsz = 1 << vk.log_n, 1 << vk.log_k, 1 << vk.log_x
-    if len(public) > xsz or (public and public[0] != 1):
+    if not _proof_well_formed(vk, public, proof):
         return None
 
     zk = "s" in proof.comms
@@ -538,28 +677,44 @@ def _verify_checks(vk: IndexVerifierKey, srs: kzg.Srs, public: list[int],
     tr = vk_transcript(curve, vk, label=0x4D41524C494E, absorb=_absorb_vk)
     for v in public:
         tr.absorb_fr(fp.constant(fr, v % p))
-    try:
-        for name in (("w", "z_a", "z_b", "s") if zk
-                     else ("w", "z_a", "z_b")):
-            _absorb_host_point(tr, curve, proof.comms[name])
-        alpha = _challenge_int(tr, curve)
-        etas = {m: _challenge_int(tr, curve) for m in M_NAMES}
-        _absorb_host_point(tr, curve, proof.comms["g_1"])
-        _absorb_host_point(tr, curve, proof.comms["h_1"])
-        _absorb_host_point(tr, curve, proof.comms["g_1_shift"])
-        beta = _challenge_int(tr, curve)
-        for m in M_NAMES:
-            _absorb_host_point(tr, curve, proof.comms[f"{m}_g"])
-            _absorb_host_point(tr, curve, proof.comms[f"{m}_h"])
-            _absorb_host_point(tr, curve, proof.comms[f"{m}_g_shift"])
-            tr.absorb_fr(fp.constant(fr, proof.sigmas[m]))
-        delta = _challenge_int(tr, curve)
-        for name in h_order + K_OPEN:
-            tr.absorb_fr(fp.constant(fr, proof.evals[name]))
-        u_beta = _challenge_int(tr, curve)
-        u_delta = _challenge_int(tr, curve)
-    except KeyError:
-        return None
+    for name in (("w", "z_a", "z_b", "s") if zk
+                 else ("w", "z_a", "z_b")):
+        _absorb_host_point(tr, curve, proof.comms[name])
+    alpha = _challenge_int(tr, curve)
+    etas = {m: _challenge_int(tr, curve) for m in M_NAMES}
+    _absorb_host_point(tr, curve, proof.comms["g_1"])
+    _absorb_host_point(tr, curve, proof.comms["h_1"])
+    _absorb_host_point(tr, curve, proof.comms["g_1_shift"])
+    beta = _challenge_int(tr, curve)
+    for m in M_NAMES:
+        _absorb_host_point(tr, curve, proof.comms[f"{m}_g"])
+        _absorb_host_point(tr, curve, proof.comms[f"{m}_h"])
+        _absorb_host_point(tr, curve, proof.comms[f"{m}_g_shift"])
+        tr.absorb_fr(fp.constant(fr, proof.sigmas[m]))
+    delta = _challenge_int(tr, curve)
+    for name in h_order + K_OPEN:
+        tr.absorb_fr(fp.constant(fr, proof.evals[name]))
+    u_beta = _challenge_int(tr, curve)
+    u_delta = _challenge_int(tr, curve)
+    return _checks_host(
+        vk, srs, public, proof,
+        {"alpha": alpha, "etas": etas, "beta": beta, "delta": delta,
+         "u_beta": u_beta, "u_delta": u_delta})
+
+
+def _checks_host(vk: IndexVerifierKey, srs: kzg.Srs, public: list[int],
+                 proof: MarlinProof, chall: dict):
+    """Host-int half of the verifier (sumchecks + opening-tuple
+    assembly) given the Fiat–Shamir challenges; shared by the sequential
+    and lane-batched derivations."""
+    curve = vk.curve
+    fr = curve.scalar
+    p = fr.p
+    n, ksz, xsz = 1 << vk.log_n, 1 << vk.log_k, 1 << vk.log_x
+    zk = "s" in proof.comms
+    h_order = H_OPEN + (("s",) if zk else ())
+    alpha, etas, beta = chall["alpha"], chall["etas"], chall["beta"]
+    delta, u_beta, u_delta = chall["delta"], chall["u_beta"], chall["u_delta"]
 
     ev = proof.evals
     v_h_alpha = (pow(alpha, n, p) - 1) % p
@@ -613,31 +768,31 @@ def _verify_checks(vk: IndexVerifierKey, srs: kzg.Srs, public: list[int],
     sh1, shm = _shift_bounds(srs.size, n, ksz)
 
     def batch_tuple(order, comm_src, point, u, witness, shifted):
-        combined, y, upow = None, 0, 1
-        from ..pairing.host import g1_add, g1_mul
+        pts, ks, y, upow = [], [], 0, 1
         for nm in order:
             c = comm_src(nm)
             if c is not None:
-                combined = g1_add(curve.field.p, combined,
-                                  g1_mul(curve.field.p, c, upow))
+                pts.append(c)
+                ks.append(upow)
             y = (y + upow * ev[nm]) % p
             upow = upow * u % p
         for shift_nm, base_nm, sh in shifted:
             c = proof.comms.get(shift_nm)
             if c is not None:
-                combined = g1_add(curve.field.p, combined,
-                                  g1_mul(curve.field.p, c, upow))
+                pts.append(c)
+                ks.append(upow)
             y = (y + upow * pow(point, sh, p) * ev[base_nm]) % p
             upow = upow * u % p
-        return (combined, point, y, witness)
+        # one (native) multi-exp for the u-power combination
+        return (kzg.combine_ints(curve, pts, ks), point, y, witness)
 
     return [
         batch_tuple(h_order, lambda nm: proof.comms[nm], beta, u_beta,
                     proof.open_beta, [("g_1_shift", "g_1", sh1)]),
         batch_tuple(
             K_OPEN,
-            lambda nm: (kzg.point_ints(curve, vk.commitments[nm])
-                        if nm in vk.commitments else proof.comms[nm]),
+            lambda nm, _ci=_vk_comm_ints(vk): (
+                _ci[nm] if nm in _ci else proof.comms[nm]),
             delta, u_delta, proof.open_delta,
             [(f"{m}_g_shift", f"{m}_g", shm) for m in M_NAMES]),
     ]

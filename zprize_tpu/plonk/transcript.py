@@ -47,6 +47,50 @@ class Transcript:
         aff = sw.to_affine(self.curve, p)
         self.sponge.absorb(self._embed_fq(aff.x) + self._embed_fq(aff.y))
 
+    def absorb_point_ints(self, xy):
+        """Absorb an affine point given as a host (x, y) int pair (None =
+        identity, which embeds as (0, 0) exactly like the device path:
+        to_affine multiplies through by inv(0) = 0).  Bit-identical to
+        `absorb_point` on the same point, but the limb split runs on the
+        host — the device path costs ~0.8 s/point on XLA:CPU (an eager
+        Fermat inversion of z == 1 plus an eager to_canonical; the r5
+        verify-bench profile hotspot)."""
+        import numpy as np
+        from ..field.spec import limbs_from_int
+        f = self.curve.field
+        nf, nr = f.n_limbs, self.fr.n_limbs
+        half = nf // 2
+        x, y = (0, 0) if xy is None else xy
+        planes = []
+        for v in (x, y):
+            limbs = limbs_from_int(v % f.p, nf)     # canonical by range
+            lo = np.zeros((nr,), np.uint32)
+            hi = np.zeros((nr,), np.uint32)
+            lo[:half] = limbs[:half]
+            hi[:nf - half] = limbs[half:]
+            planes += [jnp.asarray(lo), jnp.asarray(hi)]
+        self.sponge.absorb(planes)
+
+    def absorb_points_ints(self, xys):
+        """Batched `absorb_point_ints`: B host points -> one absorb of
+        four (B, nr) planes into a `broadcast(B)` transcript's lanes.
+        Lane b evolves bit-identically to an unbatched transcript
+        absorbing xys[b]."""
+        import numpy as np
+        from ..field.spec import limbs_from_int
+        f = self.curve.field
+        nf, nr = f.n_limbs, self.fr.n_limbs
+        half = nf // 2
+        B = len(xys)
+        planes = [np.zeros((B, nr), np.uint32) for _ in range(4)]
+        for b, xy in enumerate(xys):
+            x, y = (0, 0) if xy is None else xy
+            for ci, v in enumerate((x, y)):
+                limbs = limbs_from_int(v % f.p, nf)
+                planes[2 * ci][b, :half] = limbs[:half]
+                planes[2 * ci + 1][b, :nf - half] = limbs[half:]
+        self.sponge.absorb([jnp.asarray(pl) for pl in planes])
+
     def absorb_vk(self, vk):
         """Bind the verifying key into the transcript (domain size, coset
         shifts, public-input rows, selector/sigma commitments) — mirrors the

@@ -94,6 +94,35 @@ def scalar_mul(curve, px: int, py: int, k: int):
     return None if (x == 0 and y == 0) else (x, y)
 
 
+def lincomb(curve, points, scalars):
+    """sum_i scalars[i] * points[i] on the host (G1, affine int pairs,
+    None = identity); returns (x, y) or None.  One interleaved
+    multi-exponentiation in C — the verifier's RLC / batched-opening
+    combine calls this once per batch instead of a python double-and-add
+    ladder per term."""
+    lib = _load()
+    n = len(points)
+    assert n == len(scalars)
+    buf = np.zeros((n, 12), dtype=np.uint64)
+    ks = np.zeros((n, 4), dtype=np.uint64)
+    for i, (pt, k) in enumerate(zip(points, scalars)):
+        if pt is not None:
+            buf[i, :6] = _limbs6(pt[0])
+            buf[i, 6:] = _limbs6(pt[1])
+        assert 0 <= k < (1 << 256)
+        for j in range(4):
+            ks[i, j] = k & 0xFFFFFFFFFFFFFFFF
+            k >>= 64
+    out = np.zeros(12, dtype=np.uint64)
+    lib.lincomb(ctypes.c_int(CURVE_ID[curve.name]),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                ks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                ctypes.c_uint64(n),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    x, y = _from_limbs6(out[:6]), _from_limbs6(out[6:])
+    return None if (x == 0 and y == 0) else (x, y)
+
+
 def host_combine_windows(curve, window_xyz_ints, window_bits: int):
     """Final 2^(c*w)-weighted window combination on the host
     (`HostReduce.cpp` role).  window_xyz_ints: list of (x, y, z) int tuples
