@@ -536,6 +536,12 @@ def main():
     seed = int(os.environ.get("MSM_SEED", "42"))
     c_env = os.environ.get("BENCH_WINDOW")
     n = 1 << npow
+    # untimed-init table cache: the point set is fully determined by
+    # (seed, n), so repeated scale runs skip the ~19 min 2^26 host
+    # assembly (the reference also preprocesses once per point set,
+    # `benches/msm.rs:13-46`)
+    os.environ.setdefault("ZPRIZE_PREP_CACHE", "/tmp/zprize_prep_cache")
+    os.environ.setdefault("ZPRIZE_PREP_CACHE_KEY", f"seed{seed}")
 
     import jax
     import jax.numpy as jnp
@@ -625,17 +631,22 @@ def main():
 
     # correctness: reduce to the base points (sum the scalars of each clone
     # mod r) and check against the native host oracle.
-    agg = _oracle_agg(curve, batch0, n_base)
-    expect = None
-    for pt, k in zip(base, agg):
-        expect = ec_ref.ec_add(expect, _native.scalar_mul(curve, pt[0], pt[1], k)
-                               if _native.available() else
-                               ec_ref.ec_mul(pt, k, curve.field.p),
-                               curve.field.p)
-    aff = sw.to_affine(curve, res)
-    got = (int(fp.to_ints(curve.field, aff.x)[()]),
-           int(fp.to_ints(curve.field, aff.y)[()]))
-    if got != expect:
+    def oracle_check(res_pt, batch_np) -> bool:
+        agg = _oracle_agg(curve, batch_np, n_base)
+        expect = None
+        for pt, k in zip(base, agg):
+            expect = ec_ref.ec_add(
+                expect,
+                _native.scalar_mul(curve, pt[0], pt[1], k)
+                if _native.available()
+                else ec_ref.ec_mul(pt, k, curve.field.p),
+                curve.field.p)
+        aff = sw.to_affine(curve, res_pt)
+        got = (int(fp.to_ints(curve.field, aff.x)[()]),
+               int(fp.to_ints(curve.field, aff.y)[()]))
+        return got == expect
+
+    if not oracle_check(res, batch0):
         log("RESULT MISMATCH — benchmark invalid")
         print(json.dumps({"metric": f"bls12_377_msm_points_per_s_2^{npow}",
                           "value": 0.0, "unit": "points/s",
@@ -673,6 +684,18 @@ def main():
             times.append(time.time() - t0)
             log(f"iter {k}: {times[-1]*1e3:.1f} ms")   # survives a cutoff
             del sk
+            # EVERY iteration's result checks against the host oracle
+            # (outside the timed region; BENCH_VERIFY_ITERS=0 disables)
+            if os.environ.get("BENCH_VERIFY_ITERS", "1") != "0":
+                if not oracle_check(res, batches_np[k]):
+                    log(f"ITER {k} RESULT MISMATCH — benchmark invalid")
+                    print(json.dumps({
+                        "metric": f"bls12_377_msm_points_per_s_2^{npow}",
+                        "value": 0.0, "unit": "points/s",
+                        "vs_baseline": 0.0,
+                        "error": f"iter {k} result mismatch"}))
+                    return
+                log(f"iter {k}: result verified")
     dt = sum(times) / iters
     pts_per_s = n / dt
     log(f"steady-state: {dt*1e3:.1f} ms per MSM -> {pts_per_s:.3e} points/s "
