@@ -400,11 +400,11 @@ def batch_inv(spec: FieldSpec, a: jax.Array, axis: int = 0) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def from_ints(spec: FieldSpec, values) -> jax.Array:
-    """Vectorized host conversion: int -> fixed-width little-endian bytes
-    (C-speed) -> numpy bit extraction of the 15-bit limbs.  ~100x faster
-    than a per-int limb loop at 2^20+ (the 2^24-scale benches build
-    16M-element scalar planes on the host)."""
+def from_ints_np(spec: FieldSpec, values) -> np.ndarray:
+    """Host (numpy) form of `from_ints`: int -> fixed-width little-endian
+    bytes (C-speed) -> numpy bit extraction of the 15-bit limbs.  ~100x
+    faster than a per-int limb loop at 2^20+; table builders that must
+    cache NUMPY (house rule) use this directly."""
     if isinstance(values, (list, tuple)) and (
             not values or isinstance(values[0], int)):
         flat = values                    # fast path: flat python list
@@ -415,7 +415,7 @@ def from_ints(spec: FieldSpec, values) -> jax.Array:
         shape = arr.shape
     n_limbs = spec.n_limbs
     if not flat:
-        return jnp.zeros(shape + (n_limbs,), jnp.uint32)
+        return np.zeros(shape + (n_limbs,), np.uint32)
     nb = (n_limbs * BASE_BITS + 7) // 8
     p = spec.p
     buf = b"".join((v % p).to_bytes(nb, "little") for v in flat)
@@ -427,7 +427,12 @@ def from_ints(spec: FieldSpec, values) -> jax.Array:
     shift = (BASE_BITS * j) % 8
     word = (by[:, byte0] | (by[:, byte0 + 1] << 8) | (by[:, byte0 + 2] << 16))
     limbs = (word >> shift) & ((1 << BASE_BITS) - 1)
-    return jnp.asarray(limbs.astype(np.uint32).reshape(shape + (n_limbs,)))
+    return limbs.astype(np.uint32).reshape(shape + (n_limbs,))
+
+
+def from_ints(spec: FieldSpec, values) -> jax.Array:
+    """Vectorized host conversion to device planes (see `from_ints_np`)."""
+    return jnp.asarray(from_ints_np(spec, values))
 
 
 def to_ints(spec: FieldSpec, a: jax.Array) -> np.ndarray:

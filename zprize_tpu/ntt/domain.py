@@ -39,17 +39,28 @@ def primitive_root(spec: FieldSpec, log_n: int) -> int:
     return w
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.lru_cache(maxsize=None)
+def _power_table_np(spec: FieldSpec, count: int, w: int) -> np.ndarray:
+    """[1, w, w^2, ..., w^(count-1)] limb planes, HOST-built (numpy,
+    python-int running product — exact by definition).
+
+    r5 correctness fix: the previous on-device log-doubling jit produced
+    WRONG limbs for the TOP HALF of the 2^17-entry Fr table on XLA:TPU
+    (the final multiply-by-constant doubling step miscompiled; XLA:CPU
+    was exact, and `fp.mul` alone on the same shapes was exact — the bug
+    was specific to the fused concat+broadcast-constant graph).  Every
+    2^18+ Fr transform inherited wrong twiddles, which is how the first
+    2^16-gate PLONK proof on hardware failed to verify.  Host build also
+    honors the house rule that cached tables are numpy (tracer-leak
+    gotcha, CLAUDE.md)."""
+    vals = [1] * count
+    for k in range(1, count):
+        vals[k] = vals[k - 1] * w % spec.p
+    return fp.from_ints_np(spec, vals)
+
+
 def _power_table(spec: FieldSpec, count: int, w: int) -> jax.Array:
-    """[1, w, w^2, ..., w^(count-1)] built by log-doubling on device."""
-    pows = fp.ones(spec, (1,))
-    k = 1
-    while k < count:
-        step = fp.constant(spec, pow(w, k, spec.p), (min(k, count - k),))
-        nxt = fp.mul(spec, pows[:count - k], step)
-        pows = jnp.concatenate([pows, nxt], axis=0)
-        k *= 2
-    return pows[:count]
+    return jnp.asarray(_power_table_np(spec, count, w))
 
 
 class Domain:
