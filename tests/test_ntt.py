@@ -160,3 +160,26 @@ def test_big_split_routing_matches_core(monkeypatch):
                 == np.asarray(fp.to_canonical(spec, a))).all()
     finally:
         jax.clear_caches()
+
+
+def test_power_table_matches_python_ints_large():
+    """Twiddle power tables must match python-int powers AT SCALE — the
+    r5 hardware find: the old on-device log-doubling build produced wrong
+    limbs for the top half of the 2^17-entry Fr table on XLA:TPU (exact
+    on CPU, so small-size differentials never caught it; every 2^18+
+    transform inherited bad twiddles and the first 2^16-gate PLONK proof
+    on hardware failed).  Tables are now host-built numpy; this pins a
+    dense sample of a large table to first principles, with extra weight
+    on the top half where the regression lived."""
+    count = 1 << 17
+    w = primitive_root(BLS12_377_FR, 18)
+    tbl = ntt_domain._power_table_np(BLS12_377_FR, count, w)
+    assert tbl.shape == (count, BLS12_377_FR.n_limbs)
+    from zprize_tpu.field.spec import int_from_limbs
+    rng = random.Random(0)
+    idxs = ([0, 1, count // 2 - 1, count // 2, count - 1]
+            + [rng.randrange(count // 2, count) for _ in range(32)]
+            + [rng.randrange(count) for _ in range(32)])
+    for k in idxs:
+        assert int_from_limbs(tbl[k].astype(np.uint64)) == pow(
+            w, k, BLS12_377_FR.p), k
