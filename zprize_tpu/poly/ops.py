@@ -62,9 +62,13 @@ def gpow_np(spec: FieldSpec, g: int, count: int, inverse: bool = False):
     return np.asarray(jax.device_get(fp.from_ints(spec, vals)))
 
 
-def powers(spec: FieldSpec, z: jax.Array, count: int) -> jax.Array:
-    """[1, z, ..., z^(count-1)] for a traced scalar plane z, by log-doubling
-    (no sequential scan)."""
+def _powers_ladder(spec: FieldSpec, z: jax.Array, count: int) -> jax.Array:
+    """Small log-doubling ladder (concat chain).  Kept SMALL on purpose:
+    the same pattern at 2^17 entries miscompiled on XLA:TPU (the r5
+    twiddle-table find — the final multiply-by-broadcast step of the
+    fused concat graph produced wrong limbs; exact on CPU and exact as a
+    standalone mul).  Large tables go through `powers`' outer-product
+    form instead."""
     pows = fp.ones(spec, (1,))
     zk = z[None]  # z^(2^j) ladder
     k = 1
@@ -75,6 +79,32 @@ def powers(spec: FieldSpec, z: jax.Array, count: int) -> jax.Array:
         zk = fp.sqr(spec, zk)
         k *= 2
     return pows[:count]
+
+
+# ladders above this size use the outer-product decomposition (see
+# `_powers_ladder`: the long concat chain is the r5 XLA:TPU miscompile
+# pattern; 2^9 is two orders of magnitude below the observed onset)
+_LADDER_MAX = 1 << 9
+
+
+def powers(spec: FieldSpec, z: jax.Array, count: int) -> jax.Array:
+    """[1, z, ..., z^(count-1)] for a traced scalar plane z.
+
+    Large counts decompose as z^i = (z^L)^(i//L) * z^(i mod L): two
+    SMALL ladders (<= ~sqrt(count)) plus ONE full-size elementwise
+    multiply — the big-mul shape that is differentially verified exact
+    on TPU, avoiding the deep concat-growing graph entirely."""
+    if count <= _LADDER_MAX:
+        return _powers_ladder(spec, z, count)
+    lo_n = _LADDER_MAX
+    hi_n = -(-count // lo_n)
+    lo = _powers_ladder(spec, z, lo_n)            # (lo_n, L)
+    z_l = z
+    for _ in range(lo_n.bit_length() - 1):        # z^(lo_n) by squaring
+        z_l = fp.sqr(spec, z_l)
+    hi = _powers_ladder(spec, z_l, hi_n)          # (hi_n, L)
+    full = fp.mul(spec, hi[:, None, :], lo[None, :, :])
+    return full.reshape(hi_n * lo_n, -1)[:count]
 
 
 @functools.partial(jax.jit, static_argnums=0)
