@@ -1128,8 +1128,13 @@ def accumulate_te_pallas(curve: CurveSpec, c: int, cap: int, packed,
     nl = f.n_limbs
     h = (nl + 1) // 2
     rows_n = 3 * h + (-3 * h) % 8
-    if packed.shape[0] < rows_n:
-        packed = jnp.pad(packed, ((0, rows_n - packed.shape[0]), (0, 0)))
+    # sublane-pad AFTER the gather, not before: padding the whole packed
+    # table materializes a full (rows_n, N) HLO temp copy per accumulate
+    # dispatch — 10 GB at 2^26 next to the 10.47 GB resident table, the
+    # r5 first-MSM OOM (and ~2.7 GB of pure HBM traffic per chunk at
+    # 2^24).  Padding the gathered (3h, p_len) rows costs ~10 MB and
+    # fuses into the gather.
+    pad_rows = max(0, rows_n - packed.shape[0])
 
     starts_b = starts[:, 1:n_buckets_eff + 1].reshape(-1)
     counts_b = counts[:, 1:n_buckets_eff + 1].reshape(-1)
@@ -1193,7 +1198,9 @@ def accumulate_te_pallas(curve: CurveSpec, c: int, cap: int, packed,
             idx = perm[wol_p, pos]
             valid = (r < ct_p).astype(jnp.uint32)
             sign = (digits[wol_p, idx] < 0).astype(jnp.uint32)
-            rows = jnp.take(packed, idx, axis=1)       # (rows_n, p)
+            rows = jnp.take(packed, idx, axis=1)       # (3h, p)
+            if pad_rows:
+                rows = jnp.pad(rows, ((0, pad_rows), (0, 0)))
             mask = (valid | (sign << 1))[None, :]
             return addp(a[0], a[1], a[2], a[3], rows, mask)
 

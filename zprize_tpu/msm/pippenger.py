@@ -381,6 +381,23 @@ def prepare_points(curve: CurveSpec, points: sw.Affine,
     host_mode = (m == 1 and
                  n >= (1 << int(os.environ.get("ZPRIZE_PREP_HOST_LOG",
                                                "22"))))
+    # Opt-in host-table cache (the keygen-once pattern of `pcs/storage`):
+    # the 2^26 host-mode assembly costs ~19 min of untimed init — with
+    # ZPRIZE_PREP_CACHE=<dir> and ZPRIZE_PREP_CACHE_KEY=<point-set tag>
+    # a repeated bench run on the same point set skips straight to the
+    # chunked upload.  The KEY must identify the point set (the bench
+    # uses its seed); the cache is the caller's responsibility to scope.
+    cache_dir = os.environ.get("ZPRIZE_PREP_CACHE")
+    cache_key = os.environ.get("ZPRIZE_PREP_CACHE_KEY")
+    cache_path = None
+    if host_mode and cache_dir and cache_key:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_path = os.path.join(
+            cache_dir, f"prep_{curve.name}_{cache_key}_n{n}_c{c}_m{m}.npy")
+        if os.path.exists(cache_path):
+            packed_np = np.load(cache_path, mmap_mode="r")
+            assert packed_np.shape[1] == n
+            return PreparedTe(_upload_table(packed_np), c, g, m, n)
     packed = None
     packed_np = None
     bads = []
@@ -421,6 +438,8 @@ def prepare_points(curve: CurveSpec, points: sw.Affine,
                 "input contains exceptional points with no twisted-Edwards "
                 "image; rerun with ZPRIZE_TE=0 for the short-Weierstrass "
                 "path")
+        if cache_path is not None:
+            np.save(cache_path, packed_np)
         return PreparedTe(_upload_table(packed_np), c, g, m, n)
     packed = packed.reshape(packed.shape[0], m * n)
     bad = jnp.any(jnp.stack(bads))
